@@ -1,0 +1,154 @@
+"""Per-Gaussian preprocessing: frustum cull, EWA projection, conic, tile bbox.
+
+This is the TPU-native equivalent of the reference CUDA rasterizer's
+`preprocessCUDA` stage (submodules/depth-diff-gaussian-rasterization; API
+reconstructed in SURVEY.md §2.3). Instead of one CUDA thread per Gaussian, the
+whole stage is batched jnp over the N axis — XLA fuses the chain (view
+transform → perspective → EWA Jacobian → 2x2 inverse → radius/bbox) into a
+few vectorized kernels, and the N axis shards trivially over a device mesh.
+
+Conventions (identical to the reference so outputs are comparable):
+  * view/proj matrices are ROW-VECTOR convention (x_row @ M), as cached by the
+    reference Camera (scene/cameras.py:55-61).
+  * frustum cull at view-space z <= 0.2.
+  * EWA 2D covariance gets a +0.3 pixel dilation on the diagonal.
+  * radius = ceil(3·sqrt(max eigenvalue of dilated cov2d)).
+  * optional Mip-Splatting-style opacity compensation `sqrt(det_raw/det_dil)`
+    (the fork's rasterizer branch is named `filter-norm`; gate via flag).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # pixels per tile side
+
+
+class ProjectedSplats(NamedTuple):
+    """Per-Gaussian screen-space quantities, all padded to N."""
+    means2d: jax.Array      # (N, 2) pixel coords
+    depths: jax.Array       # (N,) view-space z
+    conics: jax.Array       # (N, 3) inverse 2D covariance, packed (a, b, c)
+    radii: jax.Array        # (N,) int32 pixel radius, 0 => culled
+    colors: jax.Array       # (N, 3) RGB after SH eval (or passthrough)
+    opacities: jax.Array    # (N,) after activation (+ optional compensation)
+    tile_min: jax.Array     # (N, 2) int32 inclusive tile bbox min (x, y)
+    tile_max: jax.Array     # (N, 2) int32 exclusive tile bbox max (x, y)
+    visible: jax.Array      # (N,) bool
+
+
+def ndc_to_pixel(ndc: jax.Array, size: jax.Array | int) -> jax.Array:
+    """((ndc + 1)·S - 1) / 2, the reference rasterizer's pixel mapping."""
+    return ((ndc + 1.0) * size - 1.0) * 0.5
+
+
+def project_gaussians(
+    means3d: jax.Array,        # (N, 3)
+    cov3d: jax.Array,          # (N, 6) packed upper-tri
+    opacities: jax.Array,      # (N,)
+    colors: jax.Array,         # (N, 3) precomputed RGB
+    viewmatrix: jax.Array,     # (4, 4) row-vector convention
+    projmatrix: jax.Array,     # (4, 4) full (view @ proj), row-vector
+    tanfovx: float | jax.Array,
+    tanfovy: float | jax.Array,
+    width: int,
+    height: int,
+    *,
+    antialias: bool = False,
+    alive: jax.Array | None = None,  # (N,) bool padding mask
+) -> ProjectedSplats:
+    """EWA-project Gaussians to screen space. Static width/height."""
+    n = means3d.shape[0]
+    focal_x = width / (2.0 * tanfovx)
+    focal_y = height / (2.0 * tanfovy)
+
+    ones = jnp.ones((n, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+    p_view = hom @ viewmatrix            # (N, 4) row-vector transform
+    p_hom = hom @ projmatrix             # (N, 4)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    tz = p_view[:, 2]
+    in_front = tz > 0.2
+
+    # EWA: clamp view-space x/y to 1.3·tanfov (limits Jacobian blowup at edges)
+    txtz = jnp.clip(p_view[:, 0] / tz, -1.3 * tanfovx, 1.3 * tanfovx)
+    tytz = jnp.clip(p_view[:, 1] / tz, -1.3 * tanfovy, 1.3 * tanfovy)
+    tx, ty = txtz * tz, tytz * tz
+
+    safe_tz = jnp.where(in_front, tz, 1.0)
+    # J: Jacobian of (x, y) pixel-scaled perspective at the clamped point
+    j00 = focal_x / safe_tz
+    j11 = focal_y / safe_tz
+    j02 = -focal_x * tx / (safe_tz * safe_tz)
+    j12 = -focal_y * ty / (safe_tz * safe_tz)
+
+    # W: rotation part of world→view, row-vector convention means the 3x3
+    # upper-left of viewmatrix is R^T as stored; build T = J @ W^T acting on
+    # world-frame covariance:  cov2d = T Σ Tᵀ  with T (N, 2, 3).
+    Wr = viewmatrix[:3, :3].T  # (3, 3): world→view linear map, column conv.
+    J = jnp.stack([
+        jnp.stack([j00, jnp.zeros_like(j00), j02], axis=-1),
+        jnp.stack([jnp.zeros_like(j11), j11, j12], axis=-1),
+    ], axis=-2)  # (N, 2, 3)
+    T = J @ Wr  # (N, 2, 3)
+
+    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
+    Sigma = jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1),
+    ], axis=-2)  # (N, 3, 3)
+    cov2d = T @ Sigma @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+
+    a_raw, b_raw, c_raw = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    det_raw = a_raw * c_raw - b_raw * b_raw
+    a, c = a_raw + 0.3, c_raw + 0.3
+    b = b_raw
+    det = a * c - b * b
+    det_ok = det > 0.0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    if antialias:
+        comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) * inv_det)
+        opacities = opacities * comp
+
+    # radius from eigenvalues of the dilated cov2d
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    mean2d = jnp.stack([
+        ndc_to_pixel(p_proj[:, 0], width),
+        ndc_to_pixel(p_proj[:, 1], height),
+    ], axis=-1)
+
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    tmin_x = jnp.clip(((mean2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, tiles_x)
+    tmin_y = jnp.clip(((mean2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, tiles_y)
+    # exclusive tile-bbox max
+    tmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / TILE).astype(jnp.int32) + 1, 0, tiles_x)
+    tmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / TILE).astype(jnp.int32) + 1, 0, tiles_y)
+
+    nonempty = (tmax_x > tmin_x) & (tmax_y > tmin_y)
+    visible = in_front & det_ok & nonempty & (radius > 0)
+    if alive is not None:
+        visible = visible & alive
+
+    radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
+    return ProjectedSplats(
+        means2d=mean2d,
+        depths=tz,
+        conics=conic,
+        radii=radii,
+        colors=colors,
+        opacities=jnp.where(visible, opacities, 0.0),
+        tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
+        tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
+        visible=visible,
+    )

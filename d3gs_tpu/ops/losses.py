@@ -45,9 +45,11 @@ def kl_divergence(mu0, logvar0, mu1, logvar1) -> jax.Array:
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
-    return g / jnp.sum(g)
+    # numpy on purpose: must be a trace-independent constant, never a tracer
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return jnp.asarray(g / g.sum())
 
 
 def _blur(img: jax.Array, window: jax.Array) -> jax.Array:

@@ -1,0 +1,249 @@
+"""Deformation-field wrappers: state, optimizer, step protocol, checkpoints.
+
+Functional counterpart of the reference's five `DeformModel*` wrappers
+(scene/deform_model.py): each couples a network with an Adam optimizer, an
+exponential LR schedule, and `.pth` checkpointing, all exposing
+    step(xyz, t[, y0]) -> (d_xyz, d_rotation, d_scaling).
+
+Here a `DeformFieldSpec` picks the network + integration strategy and
+`create_deform_field` returns a `(DeformState, DeformField)` pair where
+`DeformField` carries pure functions (step / step_multi / update / lr_at)
+that close over the static spec — ready to drop into the jitted train step.
+
+Field kinds (reference mapping):
+  baseline     -> DeformModelBaseline (full δx/δr/δs heads)          :317-356
+  warp         -> DeformModel / DeformNetwork (δx only)              :253-316
+  ode          -> DeformModelODE (dynamics net integrated from 0)    :172-251
+  simple       -> DeformModelTORCHODE (DeformNetworkSimple dynamics) :11-54
+  simple_start -> DeformModelTORCHODEStart (y0-conditioned)          :55-98
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ...ops.schedules import expon_lr
+from .networks import (DeformMLP, DeformNetworkODE, DeformNetworkSimple,
+                       DeformNetworkSimpleStart)
+from .ode import odeint_from_zero, odeint_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformFieldSpec:
+    kind: str = "baseline"          # baseline | warp | ode | simple | simple_start
+    is_blender: bool = False
+    is_6dof: bool = False
+    D: int = 8
+    W: int = 256
+    multires: int = 10
+    use_linear: int = 0
+    use_emb: bool = True
+    output_scale: float = 1.0
+    skips: tuple = (4,)
+    n_substeps: int = 4             # RK4 substeps per grid segment
+    rtol: float = 1e-3              # kept for adaptive-solver parity runs
+    atol: float = 1e-4
+
+
+@struct.dataclass
+class DeformState:
+    params: Any
+    m: Any
+    v: Any
+    count: jax.Array
+
+
+class DeformField(NamedTuple):
+    spec: DeformFieldSpec
+    apply: Callable                  # network apply
+    step: Callable                   # (params, xyz, t[, y0]) -> (dx, dr, ds)
+    step_multi: Callable             # (params, xyz, ts[, y0]) -> per-time
+    lr_at: Callable                  # iteration -> lr
+    update: Callable                 # (state, grads, iteration) -> state
+
+
+def _build_network(spec: DeformFieldSpec):
+    if spec.kind == "baseline":
+        return DeformMLP(D=spec.D, W=spec.W, multires=spec.multires,
+                         is_blender=spec.is_blender, is_6dof=spec.is_6dof,
+                         full_heads=True)
+    if spec.kind == "warp":
+        return DeformMLP(D=spec.D, W=spec.W, multires=spec.multires,
+                         is_blender=spec.is_blender, is_6dof=spec.is_6dof,
+                         full_heads=False)
+    if spec.kind == "ode":
+        return DeformNetworkODE(D=spec.D, W=spec.W, multires=spec.multires,
+                                is_blender=spec.is_blender,
+                                use_linear=spec.use_linear,
+                                use_emb=spec.use_emb,
+                                output_scale=spec.output_scale,
+                                skips=tuple(spec.skips))
+    if spec.kind == "simple":
+        return DeformNetworkSimple()
+    if spec.kind == "simple_start":
+        return DeformNetworkSimpleStart()
+    raise ValueError(f"unknown deform kind {spec.kind!r}")
+
+
+def _zeros_rot_scale(n):
+    return jnp.zeros((n, 4)), jnp.zeros((n, 3))
+
+
+def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
+                        opt_cfg=None, *, spatial_lr_scale: float = 5.0,
+                        example_n: int = 8):
+    """Initialize params + optimizer and build the step functions."""
+    net = _build_network(spec)
+    x0 = jnp.zeros((example_n, 3))
+    t0 = jnp.zeros((example_n, 1))
+    if spec.kind in ("baseline", "warp"):
+        params = net.init(key, x0, t0)
+    elif spec.kind == "simple_start":
+        params = net.init(key, t0, x0, x0)
+    else:
+        params = net.init(key, t0, x0)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    state = DeformState(params=params, m=zeros, v=jax.tree.map(
+        jnp.zeros_like, params), count=jnp.zeros((), jnp.int32))
+
+    # --- LR schedule (reference train_setting: position_lr_init × 5 →
+    # position_lr_final over deform/position_lr_max_steps) ---------------
+    if opt_cfg is not None:
+        if getattr(opt_cfg, "scale_lr", False):
+            lr_init = opt_cfg.position_lr_init * spatial_lr_scale * \
+                opt_cfg.num_cams_per_iter
+            lr_final = opt_cfg.position_lr_final * opt_cfg.num_cams_per_iter
+        else:
+            lr_init = opt_cfg.position_lr_init * spatial_lr_scale
+            lr_final = opt_cfg.position_lr_final
+        max_steps = getattr(opt_cfg, "deform_lr_max_steps",
+                            opt_cfg.position_lr_max_steps)
+        delay_mult = opt_cfg.position_lr_delay_mult
+        weight_decay = getattr(opt_cfg, "weight_decay", 0.0)
+    else:
+        lr_init, lr_final, max_steps, delay_mult = 1.6e-3, 1.6e-6, 40_000, 0.01
+        weight_decay = 0.0
+
+    def lr_at(iteration):
+        return expon_lr(iteration, lr_init=lr_init, lr_final=lr_final,
+                        lr_delay_mult=delay_mult, max_steps=max_steps)
+
+    # --- step functions --------------------------------------------------
+    def step(params, xyz, t, y0=None):
+        """Single-time deformation at (scalar) fid t."""
+        n = xyz.shape[0]
+        if spec.kind in ("baseline", "warp"):
+            t_col = jnp.broadcast_to(jnp.reshape(t, (-1, 1))[:1], (n, 1))
+            return net.apply(params, xyz, t_col)
+        if spec.kind == "ode":
+            f = lambda tt, yy: net.apply(params, tt, yy)
+            y = odeint_from_zero(f, xyz, jnp.reshape(t, ()),
+                                 n_substeps=2 * spec.n_substeps)
+            r, s = _zeros_rot_scale(n)
+            return y, r, s
+        if spec.kind == "simple":
+            f = lambda tt, yy: net.apply(params, tt, yy)
+        else:  # simple_start
+            anchor = xyz if y0 is None else y0
+            f = lambda tt, yy: net.apply(params, tt, yy, anchor)
+        y = odeint_from_zero(f, xyz, jnp.reshape(t, ()),
+                             n_substeps=2 * spec.n_substeps)
+        r, s = _zeros_rot_scale(n)
+        return y, r, s
+
+    def step_multi(params, xyz, ts, y0=None):
+        """Multi-time window. ts: (T,) sorted fids (or (N, T) per-sample).
+        MLP kinds evaluate independently per time (DeformModel:260-273);
+        ODE kinds integrate a trajectory anchored at ts[0] with state xyz
+        (torchode InitialValueProblem semantics, deform_model.py:26-33).
+        Returns (dxs (T, N, 3|4x4), drs, dss)."""
+        n = xyz.shape[0]
+        if spec.kind in ("baseline", "warp"):
+            def one(t):
+                t_col = jnp.full((n, 1), t)
+                return net.apply(params, xyz, t_col)
+            dx, dr, ds = jax.vmap(one)(ts)
+            return dx, dr, ds
+        if spec.kind == "ode":
+            f = lambda tt, yy: net.apply(params, tt, yy)
+        elif spec.kind == "simple":
+            f = lambda tt, yy: net.apply(params, tt, yy)
+        else:
+            anchor = xyz if y0 is None else y0
+            f = lambda tt, yy: net.apply(params, tt, yy, anchor)
+        ys = odeint_grid(f, xyz, ts, n_substeps=spec.n_substeps)  # (T, N, 3)
+        T = ys.shape[0]
+        r = jnp.zeros((T, n, 4))
+        s = jnp.zeros((T, n, 3))
+        return ys, r, s
+
+    # --- optimizer (torch Adam, eps 1e-15, optional weight decay) --------
+    def update(state: DeformState, grads, iteration):
+        lr = lr_at(iteration)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        c1 = 1.0 - 0.9 ** t
+        c2 = 1.0 - 0.999 ** t
+
+        def upd(p, g, m, v):
+            if weight_decay:
+                g = g + weight_decay * p
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            return p - lr * (m / c1) / (jnp.sqrt(v / c2) + 1e-15), m, v
+
+        flat_p, treedef = jax.tree.flatten(state.params)
+        flat_g = jax.tree.leaves(grads)
+        flat_m = jax.tree.leaves(state.m)
+        flat_v = jax.tree.leaves(state.v)
+        new_p, new_m, new_v = [], [], []
+        for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v):
+            a, b, c = upd(p, g, m, v)
+            new_p.append(a)
+            new_m.append(b)
+            new_v.append(c)
+        return DeformState(
+            params=jax.tree.unflatten(treedef, new_p),
+            m=jax.tree.unflatten(treedef, new_m),
+            v=jax.tree.unflatten(treedef, new_v), count=count)
+
+    field = DeformField(spec=spec, apply=net.apply, step=step,
+                        step_multi=step_multi, lr_at=lr_at, update=update)
+    return state, field
+
+
+# ---------------------------------------------------------------------------
+# checkpoint IO (reference save_weights/load_weights: deform/iteration_N/
+# deform.pth; we use .npz of the flattened param tree)
+# ---------------------------------------------------------------------------
+
+def save_deform_weights(model_path: str, iteration: int, state: DeformState):
+    out_dir = os.path.join(model_path, "deform", f"iteration_{iteration}")
+    os.makedirs(out_dir, exist_ok=True)
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    arrays = {jax.tree_util.keystr(path): np.asarray(leaf)
+              for path, leaf in flat}
+    np.savez(os.path.join(out_dir, "deform.npz"), **arrays)
+
+
+def load_deform_weights(model_path: str, state: DeformState,
+                        iteration: int = -1) -> DeformState:
+    base = os.path.join(model_path, "deform")
+    if iteration == -1:
+        iters = [int(d.split("_")[-1]) for d in os.listdir(base)
+                 if d.startswith("iteration_")]
+        iteration = max(iters)
+    path = os.path.join(base, f"iteration_{iteration}", "deform.npz")
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state.params)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(p)]) for p, _ in flat]
+    params = jax.tree_util.tree_unflatten(
+        jax.tree.structure(state.params), leaves)
+    return state.replace(params=params)

@@ -1,0 +1,141 @@
+"""Deformation networks + ODE integrator tests (SURVEY.md §4 fixture (b):
+analytic-trajectory oracles)."""
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3gs_tpu.models.deform import (DeformFieldSpec, create_deform_field)
+from d3gs_tpu.models.deform.ode import (odeint_adaptive, odeint_from_zero,
+                                        odeint_grid)
+from d3gs_tpu.models.deform.networks import positional_encoding, pe_dim
+
+
+def test_positional_encoding_layout():
+    x = jnp.array([[0.5, -0.25, 1.0]])
+    e = positional_encoding(x, 4)
+    assert e.shape == (1, pe_dim(3, 4))
+    np.testing.assert_allclose(e[0, :3], [0.5, -0.25, 1.0])
+    # first sin band is sin(2^0 * x)
+    np.testing.assert_allclose(e[0, 3:6], np.sin([0.5, -0.25, 1.0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(e[0, 6:9], np.cos([0.5, -0.25, 1.0]),
+                               rtol=1e-6)
+
+
+def test_deform_mlp_shapes_and_warmup_magnitude():
+    spec = DeformFieldSpec(kind="baseline", is_blender=True)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(0))
+    xyz = jnp.ones((32, 3)) * 0.3
+    dx, dr, ds = field.step(state.params, xyz, jnp.asarray(0.7))
+    assert dx.shape == (32, 3)
+    assert dr.shape == (32, 4)
+    assert ds.shape == (32, 3)
+    assert np.isfinite(np.asarray(dx)).all()
+
+
+def test_deform_mlp_6dof_returns_se3():
+    spec = DeformFieldSpec(kind="baseline", is_6dof=True)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(0))
+    xyz = jnp.ones((8, 3)) * 0.3
+    dx, dr, ds = field.step(state.params, xyz, jnp.asarray(0.3))
+    assert dx.shape == (8, 4, 4)
+    # valid rigid transforms: R orthonormal
+    R = np.asarray(dx)[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-4)
+
+
+def test_warp_kind_zero_rot_scale():
+    spec = DeformFieldSpec(kind="warp")
+    state, field = create_deform_field(spec, jax.random.PRNGKey(0))
+    dx, dr, ds = field.step(state.params, jnp.ones((4, 3)), jnp.asarray(0.5))
+    assert dx.shape == (4, 3)
+    assert dr == 0.0 and ds == 0.0
+
+
+def test_odeint_grid_linear_system_analytic():
+    """dy/dt = A y with A = [[0, -w], [w, 0]] rotates — closed form."""
+    w = 1.3
+    A = jnp.array([[0.0, -w], [w, 0.0]])
+
+    def f(t, y):
+        return y @ A.T
+
+    y0 = jnp.array([[1.0, 0.0], [0.0, 2.0]])
+    ts = jnp.linspace(0.0, 1.0, 11)
+    ys = odeint_grid(f, y0, ts, n_substeps=8)
+    th = w * 1.0
+    R = np.array([[math.cos(th), -math.sin(th)], [math.sin(th), math.cos(th)]])
+    want = y0 @ R.T
+    np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(want),
+                               atol=1e-5)
+    # adaptive path agrees
+    ys2 = odeint_adaptive(f, y0, ts, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys2[-1]), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_odeint_grid_per_sample_grids():
+    """Each sample integrates through its own time window (torchode
+    parallel-IVP semantics)."""
+    def f(t, y):
+        # dy/dt = t  (per-sample t arrives as (N, 1))
+        return jnp.broadcast_to(jnp.reshape(t, (-1, 1)), y.shape)
+
+    y0 = jnp.zeros((3, 1))
+    ts = jnp.stack([jnp.linspace(0.0, 1.0, 5),
+                    jnp.linspace(0.5, 1.5, 5),
+                    jnp.linspace(2.0, 4.0, 5)])  # (N=3, T=5)
+    ys = odeint_grid(f, y0, ts, n_substeps=4)    # (T, N, 1)
+    # y(T) - y(0) = (t1^2 - t0^2)/2
+    want = (ts[:, -1] ** 2 - ts[:, 0] ** 2) / 2
+    np.testing.assert_allclose(np.asarray(ys[-1][:, 0]), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ode_field_t0_identity_and_multi():
+    spec = DeformFieldSpec(kind="simple", n_substeps=2)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(1))
+    xyz = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)),
+                      jnp.float32)
+    # t = 0: zero-length integration returns y unchanged (reference
+    # deform_model.py:189-192 shortcut)
+    y, r, s = field.step(state.params, xyz, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xyz), atol=1e-6)
+    # multi-time anchored at ts[0]
+    ts = jnp.linspace(0.2, 0.6, 4)
+    ys, rs, ss = field.step_multi(state.params, xyz, ts)
+    assert ys.shape == (4, 16, 3)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(xyz), atol=1e-6)
+    assert rs.shape == (4, 16, 4)
+
+
+def test_simple_start_conditions_on_y0():
+    spec = DeformFieldSpec(kind="simple_start", n_substeps=2)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(2))
+    xyz = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)),
+                      jnp.float32)
+    ts = jnp.linspace(0.0, 0.5, 3)
+    ys1, _, _ = field.step_multi(state.params, xyz, ts, y0=xyz)
+    ys2, _, _ = field.step_multi(state.params, xyz, ts, y0=xyz * 2.0)
+    # different anchors must produce different trajectories
+    assert not np.allclose(np.asarray(ys1[-1]), np.asarray(ys2[-1]))
+
+
+def test_deform_update_changes_params():
+    spec = DeformFieldSpec(kind="warp")
+    state, field = create_deform_field(spec, jax.random.PRNGKey(3))
+
+    def loss(params):
+        dx, _, _ = field.step(params, jnp.ones((4, 3)), jnp.asarray(0.5))
+        return jnp.sum(dx ** 2)
+
+    g = jax.grad(loss)(state.params)
+    new_state = field.update(state, g, jnp.asarray(100.0))
+    l0 = jax.tree.leaves(state.params)[0]
+    l1 = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    assert int(new_state.count) == 1

@@ -221,12 +221,13 @@ def load_gaussians_ply(path: str, *, sh_degree: int = 3,
         rotation=jnp.asarray(rot_pad),
         opacity=padded(opacity))
     import jax
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    zeros_m = jax.tree.map(jnp.zeros_like, params)
+    zeros_v = jax.tree.map(jnp.zeros_like, params)
     return G.GaussianState(
         params=params, alive=jnp.arange(cap) < n,
         grad_accum=jnp.zeros(cap), denom=jnp.zeros(cap),
         max_radii2d=jnp.zeros(cap),
-        opt=G.AdamState(m=zeros, v=zeros, count=jnp.zeros((), jnp.int32)),
+        opt=G.AdamState(m=zeros_m, v=zeros_v, count=jnp.zeros((), jnp.int32)),
         active_sh_degree=jnp.asarray(sh_degree, jnp.int32),
         max_sh_degree=sh_degree, capacity=cap,
         spatial_lr_scale=float(spatial_lr_scale))

@@ -150,13 +150,16 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, *,
         xyz=jnp.asarray(xyz), features_dc=jnp.asarray(f_dc),
         features_rest=jnp.asarray(f_rest), scaling=jnp.asarray(scaling),
         rotation=jnp.asarray(rotation), opacity=jnp.asarray(opacity))
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    # m and v must be distinct buffers (donation would otherwise see the
+    # same buffer twice)
+    zeros_m = jax.tree.map(jnp.zeros_like, params)
+    zeros_v = jax.tree.map(jnp.zeros_like, params)
     alive = jnp.arange(cap) < n
     return GaussianState(
         params=params, alive=alive,
         grad_accum=jnp.zeros(cap), denom=jnp.zeros(cap),
         max_radii2d=jnp.zeros(cap),
-        opt=AdamState(m=zeros, v=zeros, count=jnp.zeros((), jnp.int32)),
+        opt=AdamState(m=zeros_m, v=zeros_v, count=jnp.zeros((), jnp.int32)),
         active_sh_degree=jnp.zeros((), jnp.int32),
         max_sh_degree=sh_degree, capacity=cap,
         spatial_lr_scale=float(spatial_lr_scale))

@@ -45,11 +45,12 @@ def kl_divergence(mu0, logvar0, mu1, logvar1) -> jax.Array:
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(size: int, sigma: float):
-    # numpy on purpose: must be a trace-independent constant, never a tracer
+    # cache a NUMPY constant: any jnp array materialized inside a jit trace
+    # is a tracer, and caching one across traces leaks it
     import numpy as np
     x = np.arange(size, dtype=np.float32) - size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    return jnp.asarray(g / g.sum())
+    return g / g.sum()
 
 
 def _blur(img: jax.Array, window: jax.Array) -> jax.Array:

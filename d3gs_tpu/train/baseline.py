@@ -1,0 +1,195 @@
+"""Paper-faithful deformable-3DGS training loop.
+
+Counterpart of the reference `train_baseline.py::training()` (:34-208): one
+random camera per iteration drawn from a time-sorted, uniformly subsampled
+`sequence_length` stack, 3k-iteration static warm-up, AST annealed time
+noise for non-blender scenes, densify/prune/opacity-reset cadence, dual
+optimizers (Gaussians + deform MLP), best-PSNR tracking.
+
+TPU design: the whole iteration (deform MLP fwd → render → loss → one
+backward → both Adam updates → densify stats) is ONE compiled XLA program
+(train/step.py); this host loop only does camera selection, cadence
+branching, and logging. Two compiled variants exist — warm-up (no deform)
+and deform — switched at `opt.warm_up` exactly like the reference's
+in-loop branch (train_baseline.py:106-115).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field as dfield
+from random import Random
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelParams, OptimizationParams, PipelineParams
+from ..data.cameras import Camera
+from ..models import gaussians as G
+from ..models.deform import DeformFieldSpec, create_deform_field
+from ..models.deform.fields import save_deform_weights
+from ..ops.losses import psnr
+from ..ops.schedules import linear_noise
+from .step import densify_fns, make_eval_render, make_train_step
+
+
+@dataclass
+class TrainResult:
+    state: G.GaussianState
+    deform_state: object
+    best_psnr: float = 0.0
+    best_iteration: int = 0
+    losses: list = dfield(default_factory=list)
+    test_psnrs: dict = dfield(default_factory=dict)
+
+
+def subsample_stack(cams: list[Camera], sequence_length: int) -> list[Camera]:
+    """Time-sort then uniformly subsample to sequence_length
+    (train_baseline.py:81-90 / train.py spread_out_sequence)."""
+    stack = sorted(cams, key=lambda c: float(c.fid))
+    total = len(stack)
+    if sequence_length >= total or sequence_length <= 0:
+        return stack
+    if sequence_length == 1:
+        return [stack[0]]
+    step = (total - 1) / (sequence_length - 1)
+    idx = [int(round(i * step)) for i in range(sequence_length)]
+    return [stack[i] for i in idx]
+
+
+def train_baseline(
+    *,
+    gaussians: G.GaussianState,
+    train_cams: list[Camera],
+    test_cams: list[Camera],
+    cameras_extent: float,
+    model_cfg: ModelParams,
+    opt_cfg: OptimizationParams,
+    pipe_cfg: PipelineParams,
+    test_iterations=(),
+    save_iterations=(),
+    model_path: str = "",
+    seed: int = 0,
+    log_every: int = 50,
+    tb_writer=None,
+    progress: bool = True,
+) -> TrainResult:
+    rng = Random(seed)
+    key = jax.random.PRNGKey(seed)
+
+    spec = DeformFieldSpec(kind="baseline", is_blender=model_cfg.is_blender,
+                           is_6dof=model_cfg.is_6dof, D=model_cfg.D,
+                           W=model_cfg.W, multires=model_cfg.multires)
+    key, dkey = jax.random.split(key)
+    deform_state, field = create_deform_field(spec, dkey, opt_cfg)
+
+    bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+
+    stack_template = subsample_stack(train_cams, opt_cfg.sequence_length)
+    time_interval = 1.0 / max(len(stack_template), 1)
+
+    def deform_fn(d_params, xyz, fid, iteration, key_):
+        if model_cfg.is_blender or key_ is None:
+            t = fid
+        else:
+            # AST noise (train_baseline.py:112-115)
+            noise = jax.random.normal(key_, ()) * time_interval * linear_noise(
+                iteration, lr_init=0.1, lr_final=1e-15, lr_delay_mult=0.01,
+                max_steps=20000)
+            t = fid + noise
+        return field.step(d_params, xyz, t)
+
+    warm_step = make_train_step(opt_cfg=opt_cfg, pipe_cfg=pipe_cfg,
+                                donate=True)
+    deform_step = make_train_step(
+        opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, is_6dof=model_cfg.is_6dof,
+        deform_fn=deform_fn, deform_update_fn=field.update, donate=True)
+    eval_render = make_eval_render(pipe_cfg=pipe_cfg,
+                                   is_6dof=model_cfg.is_6dof,
+                                   deform_fn=deform_fn)
+    densify, reset_opacity, oneup = densify_fns(opt_cfg)
+
+    state = gaussians
+    result = TrainResult(state=state, deform_state=deform_state)
+    viewpoint_stack: list[Camera] = []
+    ema_loss = 0.0
+
+    it_range = range(1, opt_cfg.iterations + 1)
+    if progress:
+        from tqdm import tqdm
+        it_range = tqdm(it_range, desc="train[baseline]")
+
+    for iteration in it_range:
+        if iteration % 1000 == 0:
+            state = oneup(state)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(stack_template)
+        cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
+
+        key, k1 = jax.random.split(key)
+        it = jnp.asarray(iteration, jnp.float32)
+        if iteration < opt_cfg.warm_up:
+            state, _, aux = warm_step(state, None, cam, it, k1, bg)
+        else:
+            state, deform_state, aux = deform_step(state, deform_state, cam,
+                                                   it, k1, bg)
+
+        # cadence (densify/reset) — identical to train_baseline.py:163-175
+        if iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
+                    else 0.0
+                key, k2 = jax.random.split(key)
+                state = densify(state, k2, size_thresh,
+                                jnp.asarray(cameras_extent))
+            if (iteration % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and iteration == opt_cfg.densify_from_iter)):
+                state = reset_opacity(state)
+
+        if iteration % log_every == 0 or iteration == 1:
+            loss_val = float(aux.loss)
+            ema_loss = 0.4 * loss_val + 0.6 * ema_loss
+            result.losses.append((iteration, loss_val))
+            if tb_writer is not None:
+                tb_writer.add_scalar("train_loss_patches/total_loss",
+                                     loss_val, iteration)
+                tb_writer.add_scalar("train_loss_patches/l1_loss",
+                                     float(aux.l1), iteration)
+                tb_writer.add_scalar("total_points", int(state.num_alive),
+                                     iteration)
+            if progress and hasattr(it_range, "set_postfix"):
+                it_range.set_postfix(loss=f"{ema_loss:.4f}",
+                                     pts=int(state.num_alive))
+
+        if iteration in test_iterations:
+            psnrs = []
+            for tc in (test_cams or train_cams[:5]):
+                out = eval_render(state, deform_state
+                                  if iteration >= opt_cfg.warm_up else None,
+                                  tc, bg)
+                psnrs.append(float(psnr(jnp.clip(out.image, 0, 1),
+                                        tc.image)))
+            mean_psnr = float(np.mean(psnrs))
+            result.test_psnrs[iteration] = mean_psnr
+            if tb_writer is not None:
+                tb_writer.add_scalar("test/psnr", mean_psnr, iteration)
+            if mean_psnr > result.best_psnr:
+                result.best_psnr = mean_psnr
+                result.best_iteration = iteration
+
+        if iteration in save_iterations and model_path:
+            from ..data.scene import save_gaussians_ply
+            pc_dir = os.path.join(model_path, "point_cloud",
+                                  f"iteration_{iteration}")
+            os.makedirs(pc_dir, exist_ok=True)
+            save_gaussians_ply(os.path.join(pc_dir, "point_cloud.ply"), state)
+            save_deform_weights(model_path, iteration, deform_state)
+
+    result.state = state
+    result.deform_state = deform_state
+    return result

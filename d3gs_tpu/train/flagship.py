@@ -1,0 +1,313 @@
+"""Flagship batched multi-camera / neural-ODE trainer.
+
+Counterpart of the reference `train.py::training()` (:35-330): per iteration,
+sample k = num_cams_per_iter cameras from a time-sorted (optionally
+uniformly subsampled, `spread_out_sequence`) window stack, sort them by fid,
+run the deformation field over the whole fid vector at once, render every
+camera, and average the photometric loss; supports the batched-ODE field
+(trajectories anchored at the window's first fid — torchode semantics),
+alternating Gaussian/deform optimization with a decaying switch interval,
+gaussian freezing via `base_model_path`, and the standard densify cadence.
+
+TPU re-design notes:
+  * the k-camera loop (train.py:224-251, sequential renders) becomes a
+    `jax.vmap` over the stacked camera pytree — all k renders batch through
+    the same kernels, so the MXU sees k× larger matmuls instead of k
+    kernel launches;
+  * `max_batch_gaussians` micro-batching (train.py:165-198, an OOM
+    workaround) is unnecessary: fixed-capacity buffers + checkpointed
+    blending bound memory already, and the flag is accepted but ignored;
+  * the reference accumulates `loss += (1-λ)·Ll1_running + λ·(1-ssim)`
+    where Ll1_running is itself a running sum (train.py:245-247) — a bug
+    that overweights early cameras' L1. We implement the evident intent:
+    mean over cameras of (1-λ)·L1 + λ·DSSIM.
+  * alternating optimization (train.py:296-321) compiles three step
+    variants (both / gaussians-only / deform-only); the host flips between
+    them on the decaying interval schedule.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dfield
+from random import Random
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelParams, OptimizationParams, PipelineParams
+from ..data.cameras import Camera, stack_cameras
+from ..models import gaussians as G
+from ..models.deform import DeformFieldSpec, create_deform_field
+from ..models.deform.fields import save_deform_weights
+from ..models.renderer import render
+from ..ops.losses import l1_loss, psnr, ssim
+from .baseline import TrainResult, subsample_stack
+from .step import densify_fns, make_eval_render
+
+
+def pick_field_spec(model_cfg: ModelParams, opt_cfg) -> DeformFieldSpec:
+    """Reference train.py:55-66 model selection."""
+    if model_cfg.use_torch_ode:
+        kind = "simple_start"
+    elif model_cfg.is_ode:
+        kind = "ode"
+    else:
+        kind = "baseline"
+    return DeformFieldSpec(
+        kind=kind, is_blender=model_cfg.is_blender,
+        is_6dof=model_cfg.is_6dof, D=model_cfg.D, W=model_cfg.W,
+        multires=model_cfg.multires, use_linear=model_cfg.use_linear,
+        use_emb=model_cfg.use_emb, output_scale=model_cfg.output_scale,
+        rtol=opt_cfg.rtol, atol=opt_cfg.atol)
+
+
+def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
+                      update_gaussians: bool, update_deform: bool,
+                      use_deform: bool):
+    """Jitted k-camera step. Camera arrays carry a leading k axis."""
+    lambda_dssim = opt_cfg.lambda_dssim
+    direct = opt_cfg.direct_compute and field.spec.kind in (
+        "ode", "simple", "simple_start")
+
+    def render_one(st, cam, dx, dr, ds, tap, bg):
+        out = render(
+            st, cam, d_xyz=dx, d_rotation=dr, d_scaling=ds,
+            is_6dof=model_cfg.is_6dof, direct_compute=direct and use_deform,
+            bg=bg, means2d_tap=tap,
+            tile_capacity=pipe_cfg.tile_capacity,
+            tile_chunk=pipe_cfg.tile_chunk,
+            bin_chunk=pipe_cfg.bin_chunk,
+            antialias=pipe_cfg.antialias)
+        ll1 = l1_loss(out.image, cam.image)
+        loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
+            1 - ssim(out.image, cam.image))
+        return loss, ll1, out.radii, jnp.max(out.counts)
+
+    @jax.jit
+    def step(state: G.GaussianState, deform_state, cams: Camera,
+             iteration: jax.Array, key: jax.Array, bg: jax.Array):
+        cap = state.capacity
+        k = cams.fid.shape[0]
+        tap0 = jnp.zeros((cap, 2))
+
+        def loss_fn(g_params, d_params, tap):
+            st = state.replace(params=g_params)
+            if use_deform:
+                xyz = jax.lax.stop_gradient(g_params.xyz)
+                fids = jnp.sort(cams.fid)
+                dxs, drs, dss = field.step_multi(d_params, xyz, fids,
+                                                 y0=xyz)
+            else:
+                dxs = jnp.zeros((k, 1, 1))
+                drs = dss = jnp.zeros((k, 1, 1))
+
+            def per_cam(cam, dx, dr, ds):
+                if use_deform:
+                    return render_one(st, cam, dx, dr, ds, tap, bg)
+                return render_one(st, cam, 0.0, 0.0, 0.0, tap, bg)
+
+            losses, ll1s, radii, ovf = jax.vmap(
+                per_cam, in_axes=(0, 0, 0, 0))(cams, dxs, drs, dss)
+            return jnp.mean(losses), (jnp.mean(ll1s),
+                                      jnp.max(radii, axis=0),
+                                      jnp.max(ovf))
+
+        d_params = deform_state.params if deform_state is not None else None
+        (loss, (ll1, radii, ovf)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, d_params, tap0)
+        g_grads, d_grads, tap_grad = grads
+
+        if update_gaussians and not opt_cfg.freeze_gaussians:
+            lrs = G.group_learning_rates(opt_cfg, iteration,
+                                         state.spatial_lr_scale)
+            new_params, new_opt = G.adam_step(state.params, g_grads,
+                                              state.opt, lrs,
+                                              mask=state.alive)
+            state = state.replace(params=new_params, opt=new_opt)
+            state = G.add_densification_stats(state, tap_grad, radii)
+
+        if update_deform and deform_state is not None:
+            deform_state = field.update(deform_state, d_grads, iteration)
+
+        return state, deform_state, loss, ll1, ovf
+
+    return step
+
+
+@dataclass
+class IterativeSchedule:
+    """Alternating-update schedule (train.py:296-321): switch between
+    updating deform-only and gaussians-only every `interval` iterations,
+    decaying the interval by `decay` at each switch, for at most
+    `max_switches` switches — then update both simultaneously."""
+    enabled: bool
+    interval: float
+    decay: float
+    max_switches: int
+    switches_done: int = 0
+    next_switch: float = 0.0
+    phase_deform: bool = True
+
+    def mode(self, iteration: int) -> tuple[bool, bool]:
+        if not self.enabled or self.switches_done >= self.max_switches:
+            return True, True
+        if self.next_switch == 0.0:
+            self.next_switch = self.interval
+        if iteration >= self.next_switch:
+            self.phase_deform = not self.phase_deform
+            self.switches_done += 1
+            self.interval *= self.decay
+            self.next_switch = iteration + self.interval
+        return (not self.phase_deform, self.phase_deform)
+
+
+def train_flagship(
+    *,
+    gaussians: G.GaussianState,
+    train_cams: list[Camera],
+    test_cams: list[Camera],
+    cameras_extent: float,
+    model_cfg: ModelParams,
+    opt_cfg: OptimizationParams,
+    pipe_cfg: PipelineParams,
+    base_model_frozen: bool = False,
+    deform_state=None,
+    field=None,
+    test_iterations=(),
+    save_iterations=(),
+    model_path: str = "",
+    seed: int = 0,
+    log_every: int = 50,
+    tb_writer=None,
+    progress: bool = True,
+) -> TrainResult:
+    rng = Random(seed)
+    key = jax.random.PRNGKey(seed)
+
+    if field is None:
+        spec = pick_field_spec(model_cfg, opt_cfg)
+        key, dkey = jax.random.split(key)
+        deform_state, field = create_deform_field(spec, dkey, opt_cfg)
+
+    bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+    k_cams = opt_cfg.num_cams_per_iter
+
+    steps = {}
+
+    def get_step(use_deform, upd_g, upd_d):
+        keyt = (use_deform, upd_g, upd_d)
+        if keyt not in steps:
+            steps[keyt] = make_batched_step(
+                opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+                field=field, update_gaussians=upd_g, update_deform=upd_d,
+                use_deform=use_deform)
+        return steps[keyt]
+
+    def eval_deform_fn(d_params, xyz, fid, iteration, key_):
+        return field.step(d_params, xyz, fid, y0=xyz)
+
+    eval_render = make_eval_render(
+        pipe_cfg=pipe_cfg, is_6dof=model_cfg.is_6dof,
+        direct_compute=opt_cfg.direct_compute and field.spec.kind in (
+            "ode", "simple", "simple_start"),
+        deform_fn=eval_deform_fn)
+    densify, reset_opacity, oneup = densify_fns(opt_cfg)
+
+    schedule = IterativeSchedule(
+        enabled=opt_cfg.use_iterative_update,
+        interval=float(opt_cfg.iterative_update_interval),
+        decay=opt_cfg.iterative_update_decay,
+        max_switches=opt_cfg.max_training_switches)
+
+    state = gaussians
+    result = TrainResult(state=state, deform_state=deform_state)
+    stack: list[Camera] = []
+    densify_allowed = not base_model_frozen
+
+    it_range = range(1, opt_cfg.iterations + 1)
+    if progress:
+        from tqdm import tqdm
+        it_range = tqdm(it_range, desc="train[flagship]")
+
+    for iteration in it_range:
+        if iteration % 1000 == 0:
+            state = oneup(state)
+
+        if len(stack) < k_cams:
+            full = sorted(train_cams, key=lambda c: float(c.fid))
+            if opt_cfg.spread_out_sequence:
+                full = subsample_stack(full, opt_cfg.sequence_length)
+            stack = full
+        n_pick = max(1, min(k_cams, len(stack)))
+        picked = [stack.pop(rng.randint(0, len(stack) - 1))
+                  for _ in range(n_pick)]
+        picked.sort(key=lambda c: float(c.fid))
+        cam_batch = stack_cameras(picked)
+
+        key, k1 = jax.random.split(key)
+        it = jnp.asarray(iteration, jnp.float32)
+        warm = iteration < opt_cfg.warm_up
+        if warm:
+            step = get_step(False, True, False)
+            state, _, loss, ll1, ovf = step(state, None, cam_batch, it, k1,
+                                            bg)
+        else:
+            upd_g, upd_d = schedule.mode(iteration)
+            step = get_step(True, upd_g, upd_d)
+            state, deform_state, loss, ll1, ovf = step(
+                state, deform_state, cam_batch, it, k1, bg)
+
+        if densify_allowed and iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
+                    else 0.0
+                key, k2 = jax.random.split(key)
+                state = densify(state, k2, size_thresh,
+                                jnp.asarray(cameras_extent))
+            if (iteration % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and iteration == opt_cfg.densify_from_iter)):
+                state = reset_opacity(state)
+
+        if iteration % log_every == 0 or iteration == 1:
+            lv = float(loss)
+            result.losses.append((iteration, lv))
+            if tb_writer is not None:
+                tb_writer.add_scalar("train_loss_patches/total_loss", lv,
+                                     iteration)
+                tb_writer.add_scalar("total_points", int(state.num_alive),
+                                     iteration)
+            if progress and hasattr(it_range, "set_postfix"):
+                it_range.set_postfix(loss=f"{lv:.4f}",
+                                     pts=int(state.num_alive))
+
+        if iteration in test_iterations:
+            psnrs = []
+            for tc in (test_cams or train_cams[:5]):
+                out = eval_render(state,
+                                  None if iteration < opt_cfg.warm_up
+                                  else deform_state, tc, bg)
+                psnrs.append(float(psnr(jnp.clip(out.image, 0, 1),
+                                        tc.image)))
+            mean_psnr = float(np.mean(psnrs))
+            result.test_psnrs[iteration] = mean_psnr
+            if mean_psnr > result.best_psnr:
+                result.best_psnr = mean_psnr
+                result.best_iteration = iteration
+
+        if iteration in save_iterations and model_path:
+            from ..data.scene import save_gaussians_ply
+            pc_dir = os.path.join(model_path, "point_cloud",
+                                  f"iteration_{iteration}")
+            os.makedirs(pc_dir, exist_ok=True)
+            save_gaussians_ply(os.path.join(pc_dir, "point_cloud.ply"),
+                               state)
+            save_deform_weights(model_path, iteration, deform_state)
+
+    result.state = state
+    result.deform_state = deform_state
+    return result

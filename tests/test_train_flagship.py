@@ -1,0 +1,76 @@
+"""Flagship batched/ODE trainer miniature runs."""
+import numpy as np
+
+from d3gs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+from d3gs_tpu.models import gaussians as G
+from d3gs_tpu.train.flagship import IterativeSchedule, train_flagship
+from tests.test_train_baseline import make_dynamic_dataset
+
+
+def _fresh_model(gt, cap, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(gt.params.xyz[:100]) + \
+        rng.normal(scale=0.03, size=(100, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(100, 3)).astype(np.float32)
+    return G.create_from_pcd(pts, cols, sh_degree=1, capacity=cap,
+                             spatial_lr_scale=4.0)
+
+
+def test_iterative_schedule():
+    s = IterativeSchedule(enabled=True, interval=10, decay=0.5,
+                          max_switches=2)
+    modes = [s.mode(i) for i in range(1, 40)]
+    # starts deform-only, alternates, then simultaneous after 2 switches
+    assert modes[0] == (False, True)
+    assert (True, False) in modes
+    assert modes[-1] == (True, True)
+    s2 = IterativeSchedule(enabled=False, interval=10, decay=0.5,
+                           max_switches=5)
+    assert s2.mode(1) == (True, True)
+
+
+def test_flagship_batched_mlp_training():
+    cap = 512
+    gt, cams = make_dynamic_dataset(cap=cap)
+    st = _fresh_model(gt, cap)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=40, warm_up=10, sequence_length=8, num_cams_per_iter=3,
+        spread_out_sequence=True, densify_from_iter=15,
+        densify_until_iter=35, densification_interval=10,
+        opacity_reset_interval=10_000, position_lr_max_steps=40,
+        deform_lr_max_steps=40)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=16)
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:2],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(40,), progress=False,
+        log_every=5)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert result.best_psnr > 0
+
+
+def test_flagship_ode_training_runs():
+    """Batched-ODE path (use_torch_ode analog): trajectories anchored at the
+    window's first fid, direct_compute rendering."""
+    cap = 256
+    gt, cams = make_dynamic_dataset(n_cams=6, cap=cap)
+    st = _fresh_model(gt, cap)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1, use_torch_ode=True)
+    opt_cfg = OptimizationParams(
+        iterations=14, warm_up=4, sequence_length=6, num_cams_per_iter=3,
+        direct_compute=True, densify_from_iter=10_000,
+        opacity_reset_interval=10_000, position_lr_max_steps=14,
+        use_iterative_update=True, iterative_update_interval=4,
+        max_training_switches=2)
+    pipe_cfg = PipelineParams(tile_capacity=128, tile_chunk=16)
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:1],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(14,), progress=False,
+        log_every=2)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()
+    assert result.best_psnr > 0

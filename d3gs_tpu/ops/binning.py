@@ -38,7 +38,8 @@ class TileBins(NamedTuple):
     order: jax.Array         # (N,) the global depth order (diagnostics)
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity", "chunk"))
+@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",
+                                              "chunk"))
 def bin_splats(
     splats: ProjectedSplats,
     *,
@@ -46,7 +47,11 @@ def bin_splats(
     tiles_y: int,
     capacity: int,
     chunk: int = 2048,
+    tile_y0: jax.Array | int = 0,
 ) -> TileBins:
+    """`tile_y0` (may be traced, e.g. an axis_index) restricts binning to
+    tile rows [tile_y0, tile_y0+tiles_y): used by tile-sharded multi-device
+    blending (parallel/)."""
     n = splats.depths.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -58,7 +63,7 @@ def bin_splats(
     vis = splats.visible[order]
 
     tile_x = jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x  # (T,)
-    tile_y = jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x
+    tile_y = jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x + tile_y0
 
     pad = (-n) % chunk
     if pad:

@@ -96,7 +96,8 @@ def _blend_tile_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height", "tile_chunk"))
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
+                              "tile_chunk"))
 def blend(
     splats: ProjectedSplats,
     bins: TileBins,
@@ -107,8 +108,12 @@ def blend(
     width: int,
     height: int,
     tile_chunk: int = 40,
+    tile_y0: jax.Array | int = 0,
 ):
-    """Blend all tiles and assemble the final (H, W, ...) images."""
+    """Blend all tiles and assemble the final (H, W, ...) images.
+
+    With `tile_y0`, blends only tile rows [tile_y0, tile_y0+tiles_y) and
+    returns that horizontal image strip (tile-sharded multi-device path)."""
     n = splats.depths.shape[0]
     num_tiles = tiles_x * tiles_y
     k = bins.tile_lists.shape[1]
@@ -122,7 +127,8 @@ def blend(
     depths = pad_row(splats.depths)
 
     tile_ox = (jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x) * TILE
-    tile_oy = (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x) * TILE
+    tile_oy = (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x
+               + tile_y0) * TILE
     origins = jnp.stack([tile_ox, tile_oy], axis=-1).astype(jnp.float32)
 
     tpad = (-num_tiles) % tile_chunk

@@ -1,0 +1,166 @@
+"""Sharded rendering + training over a device mesh (shard_map).
+
+Pipeline per step (see mesh.py for the layout rationale):
+
+  deform MLP + activations        — GSPMD auto-parallel (N sharded, params
+                                    replicated; XLA inserts the psum dual on
+                                    the backward pass)
+  EWA preprocess                  — inside shard_map, local N/D rows
+  all_gather(projected splats)    — ICI; ~44 B/Gaussian of screen-space data
+  bin + blend my tile rows        — local; each chip owns an image strip
+  strips → full image             — shard_map out_specs concatenation
+  loss + backward                 — GSPMD on the row-sharded image; grads
+                                    reverse through the same collectives
+
+Only the rasterizer core lives inside `shard_map`: its scatter-based binning
+is the one stage XLA's automatic partitioner cannot split well. Everything
+else (MLP, Adam, densify) is plain jit over sharded arrays.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.cameras import Camera
+from ..models import gaussians as G
+from ..ops.binning import bin_splats
+from ..ops.losses import l1_loss, ssim
+from ..ops.projection import TILE, project_gaussians
+from ..ops.rasterize import blend
+from ..ops.sh import eval_sh_upto
+from ..ops.transforms import cov3d_packed
+from .mesh import AXIS
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def make_sharded_render(mesh: Mesh, *, width: int, height: int,
+                        pipe_cfg, axis: str = AXIS):
+    """Build render_fn(means3d, cov3d, colors, opacities, alive, camera, bg,
+    means2d_tap) -> (image (H,W,3) row-sharded, depth, alpha, radii, counts).
+
+    Per-Gaussian inputs must be sharded on their leading axis over `axis`.
+    """
+    n_dev = mesh.shape[axis]
+    tiles_x = _cdiv(width, TILE)
+    tiles_y_total = _cdiv(height, TILE)
+    tiles_y_local = _cdiv(tiles_y_total, n_dev)
+    strip_h = tiles_y_local * TILE
+    full_h = strip_h * n_dev
+
+    def shard_fn(means3d, cov3d, colors, opac, alive, tap,
+                 viewmatrix, projmatrix, tanfov, bg):
+        splats_l = project_gaussians(
+            means3d, cov3d, opac, colors, viewmatrix, projmatrix,
+            tanfov[0], tanfov[1], width, height,
+            antialias=pipe_cfg.antialias, alive=alive)
+        splats_l = splats_l._replace(means2d=splats_l.means2d + tap)
+        radii_l = splats_l.radii
+        # gather projected splats from all shards (concat on N axis).
+        # Differentiable: the AD transpose of all_gather is reduce-scatter,
+        # so every Gaussian receives blend gradients from ALL image strips.
+        splats = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, tiled=True), splats_l)
+        my = jax.lax.axis_index(axis)
+        ty0 = my * tiles_y_local
+        bins = bin_splats(jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                          tiles_y=tiles_y_local, capacity=pipe_cfg.tile_capacity,
+                          chunk=pipe_cfg.bin_chunk, tile_y0=ty0)
+        img, dep, alp = blend(splats, bins, bg, tiles_x=tiles_x,
+                              tiles_y=tiles_y_local, width=width,
+                              height=strip_h, tile_chunk=pipe_cfg.tile_chunk,
+                              tile_y0=ty0)
+        return img, dep, alp, radii_l, bins.counts
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+
+    def render_fn(means3d, cov3d, colors, opacities, alive, camera: Camera,
+                  bg, means2d_tap):
+        tanfov = jnp.asarray([camera.tanfovx, camera.tanfovy], jnp.float32)
+        img, dep, alp, radii, counts = smapped(
+            means3d, cov3d, colors, opacities, alive, means2d_tap,
+            camera.viewmatrix, camera.projmatrix, tanfov, bg)
+        return (img[:height], dep[:height], alp[:height], radii, counts)
+
+    return render_fn
+
+
+class ShardedAux(NamedTuple):
+    loss: jax.Array
+    l1: jax.Array
+    radii: jax.Array
+
+
+def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
+                            width: int, height: int,
+                            field=None, is_6dof: bool = False,
+                            direct_compute: bool = False,
+                            axis: str = AXIS):
+    """Full jitted+sharded train step: deform (GSPMD) → sharded render →
+    loss → backward → Adam. Mirrors train/step.py for the mesh case."""
+    render_fn = make_sharded_render(mesh, width=width, height=height,
+                                    pipe_cfg=pipe_cfg, axis=axis)
+    lambda_dssim = opt_cfg.lambda_dssim
+    use_deform = field is not None
+
+    def loss_fn(g_params, d_params, tap, state, camera, bg):
+        st = state.replace(params=g_params)
+        xyz = g_params.xyz
+        if use_deform:
+            dx, dr, ds = field.step(d_params, jax.lax.stop_gradient(xyz),
+                                    camera.fid)
+            if direct_compute and isinstance(dx, jax.Array) and dx.ndim >= 2:
+                means3d = dx
+            else:
+                means3d = xyz + dx
+        else:
+            means3d = xyz
+            dr, ds = 0.0, 0.0
+        scales = st.get_scaling + ds
+        rots = st.get_rotation + dr
+        cov3d = cov3d_packed(scales, rots)
+        opac = st.get_opacity[:, 0]
+        dirs = means3d - camera.campos[None]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        colors = jnp.maximum(eval_sh_upto(st.max_sh_degree,
+                                          st.active_sh_degree,
+                                          st.get_features, dirs) + 0.5, 0.0)
+        img, dep, alp, radii, counts = render_fn(
+            means3d, cov3d, colors, opac, st.alive, camera, bg, tap)
+        ll1 = l1_loss(img, camera.image)
+        loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
+            1 - ssim(img, camera.image))
+        return loss, (ll1, radii)
+
+    @jax.jit
+    def step(state: G.GaussianState, deform_state, camera: Camera,
+             iteration, bg):
+        tap0 = jnp.zeros((state.capacity, 2))
+        d_params = deform_state.params if use_deform else None
+        (loss, (ll1, radii)), (g_grads, d_grads, tap_grad) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, d_params, tap0, state, camera, bg)
+        lrs = G.group_learning_rates(opt_cfg, iteration,
+                                     state.spatial_lr_scale)
+        new_params, new_opt = G.adam_step(state.params, g_grads, state.opt,
+                                          lrs, mask=state.alive)
+        state = state.replace(params=new_params, opt=new_opt)
+        state = G.add_densification_stats(state, tap_grad, radii)
+        if use_deform:
+            deform_state = field.update(deform_state, d_grads, iteration)
+        return state, deform_state, ShardedAux(loss=loss, l1=ll1,
+                                               radii=radii)
+
+    return step

@@ -1,0 +1,112 @@
+"""Benchmark: full training-step throughput at the reference's headline
+config (D-NeRF 400x400, ~43k Gaussians — the reference README's average
+Gaussian count, BASELINE.md).
+
+Measures the COMPLETE jitted train iteration — deform MLP forward, EWA
+projection, tile binning, blend, L1+DSSIM loss, full backward (params +
+screenspace tap), both Adam updates — and reports Mrays/s (pixels/s) per
+chip. The reference baseline is 28.6 Mrays/s render-only (179 FPS x 160k px
+on its GPU, BASELINE.md); we report fwd+bwd against that render-only bar,
+so vs_baseline understates the true speedup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from d3gs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+    from d3gs_tpu.models import gaussians as G
+    from d3gs_tpu.models.deform import DeformFieldSpec, create_deform_field
+    from d3gs_tpu.data.cameras import Camera
+    from d3gs_tpu.ops.camera_math import perspective_projection, world_to_view
+    from d3gs_tpu.train.step import make_train_step
+
+    WIDTH = HEIGHT = 400
+    N = 43_132                      # reference average Gaussian count
+    CAP = 44_032                    # padded to 1024 multiple
+    ITERS = 10
+
+    rng = np.random.default_rng(0)
+    pts = (rng.random((N, 3)) * 2.6 - 1.3).astype(np.float32)
+    cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, cols, sh_degree=3, capacity=CAP,
+                              spatial_lr_scale=4.0)
+    # activate full SH + plausible opacities so the blend does real work
+    state = state.replace(
+        active_sh_degree=jnp.asarray(3, jnp.int32),
+        params=state.params._replace(
+            opacity=jnp.full((CAP, 1), 0.5, jnp.float32)))
+
+    V = world_to_view(np.eye(3), np.array([0.0, 0.0, 4.0])).T
+    fov = math.radians(60)
+    P = perspective_projection(0.01, 100.0, fov, fov).T
+    cam = Camera(
+        viewmatrix=jnp.asarray(V, jnp.float32),
+        projmatrix=jnp.asarray(V @ P, jnp.float32),
+        campos=jnp.asarray(np.linalg.inv(V)[3, :3], jnp.float32),
+        fid=jnp.asarray(0.5),
+        image=jnp.asarray(rng.random((HEIGHT, WIDTH, 3)), jnp.float32),
+        width=WIDTH, height=HEIGHT, fovx=fov, fovy=fov)
+
+    spec = DeformFieldSpec(kind="baseline", is_blender=True)
+    dstate, field = create_deform_field(spec, jax.random.PRNGKey(0))
+
+    opt_cfg = OptimizationParams()
+    pipe_cfg = PipelineParams(tile_capacity=1024, tile_chunk=25)
+
+    def deform_fn(d_params, xyz, fid, iteration, key):
+        return field.step(d_params, xyz, fid)
+
+    step = make_train_step(opt_cfg=opt_cfg, pipe_cfg=pipe_cfg,
+                           deform_fn=deform_fn,
+                           deform_update_fn=field.update, donate=False)
+
+    bg = jnp.zeros(3)
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    for i in range(3):
+        state, dstate, aux = step(state, dstate, cam,
+                                  jnp.asarray(3001.0 + i), key, bg)
+    jax.block_until_ready(aux.loss)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, dstate, aux = step(state, dstate, cam,
+                                  jnp.asarray(3010.0 + i), key, bg)
+    jax.block_until_ready(aux.loss)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    mrays = WIDTH * HEIGHT / dt / 1e6
+    baseline = 28.6  # render-only Mrays/s of the reference GPU (BASELINE.md)
+    print(json.dumps({
+        "metric": "train_step_throughput_43k_gaussians_400x400",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip (fwd+bwd+opt)",
+        "vs_baseline": round(mrays / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({
+            "metric": "train_step_throughput_43k_gaussians_400x400",
+            "value": 0.0,
+            "unit": "Mrays/s/chip (fwd+bwd+opt)",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(0)

@@ -61,7 +61,9 @@ class PipelineParams:
     # --- TPU-native knobs ---
     tile_capacity: int = 1024       # per-tile splat list length K
     tile_chunk: int = 40            # tiles blended per scan step
-    bin_chunk: int = 2048           # gaussians per binning scan step
+    bin_chunk: int = 2048           # gaussians per binning scan step (scan path)
+    binning: str = "sort"           # "sort" (fast) | "scan" (reference-exact)
+    dup_capacity: int = 0           # sort-path duplicate budget (0 = 16N)
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single

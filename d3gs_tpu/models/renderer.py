@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..data.cameras import Camera
 from ..ops.projection import TILE, project_gaussians
-from ..ops.binning import bin_splats
+from ..ops.binning import bin_splats, bin_splats_sorted
 from ..ops.rasterize import RenderOutput, blend
 from ..ops.sh import eval_sh_upto
 from ..ops.transforms import apply_se3, cov3d_packed
@@ -51,6 +51,8 @@ def render(
     tile_chunk: int = 40,
     bin_chunk: int = 2048,
     antialias: bool = False,
+    binning: str = "sort",
+    dup_capacity: int = 0,
 ) -> RenderOutput:
     p = gaussians.params
 
@@ -97,10 +99,16 @@ def render(
         antialias=antialias, alive=gaussians.alive)
     if means2d_tap is not None:
         splats = splats._replace(means2d=splats.means2d + means2d_tap)
-    bins = bin_splats(
-        jax.lax.stop_gradient(splats),
-        tiles_x=tiles_x, tiles_y=tiles_y, capacity=tile_capacity,
-        chunk=bin_chunk)
+    if binning == "sort":
+        bins = bin_splats_sorted(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, capacity=tile_capacity,
+            dup_capacity=dup_capacity)
+    else:
+        bins = bin_splats(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, capacity=tile_capacity,
+            chunk=bin_chunk)
     image, depth, alpha = blend(
         splats, bins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
         width=width, height=height, tile_chunk=tile_chunk)

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .binning import TileBins, bin_splats
+from .binning import TileBins, bin_splats, bin_splats_sorted
 from .projection import TILE, ProjectedSplats, project_gaussians
 
 _T_EPS = 1e-4       # transmittance early-termination threshold
@@ -62,34 +62,38 @@ def _blend_tile_chunk(
     opa = opacities[idx]         # (Tc, K)
     dep = depths[idx]            # (Tc, K)
 
-    # pixel grid: local coords within tile, integer pixel coordinates
+    # pixel grid: integer pixel coordinates; layout (Tc, K, P) keeps the
+    # transmittance recurrence on the sublane axis and P=256 on the lanes
     ly = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0).reshape(-1)
     lx = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1).reshape(-1)
-    px = origin[:, None, 0:1] + lx[None, :, None]   # (Tc, P, 1)
-    py = origin[:, None, 1:2] + ly[None, :, None]
+    px = origin[:, None, 0:1] + lx[None, None, :]    # (Tc, 1, P)
+    py = origin[:, None, 1:2] + ly[None, None, :]
 
-    dx = mu[:, None, :, 0] - px                      # (Tc, P, K)
-    dy = mu[:, None, :, 1] - py
-    a = con[:, None, :, 0]
-    b = con[:, None, :, 1]
-    c = con[:, None, :, 2]
+    dx = mu[:, :, 0:1] - px                          # (Tc, K, P)
+    dy = mu[:, :, 1:2] - py
+    a = con[:, :, 0:1]
+    b = con[:, :, 1:2]
+    c = con[:, :, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(_ALPHA_MAX, opa[:, None, :] * jnp.exp(power))
+    alpha = jnp.minimum(_ALPHA_MAX, opa[:, :, None] * jnp.exp(power))
     alpha = jnp.where((power > 0.0) | (alpha < _ALPHA_MIN), 0.0, alpha)
 
-    log_t = jnp.log1p(-alpha)                        # (Tc, P, K)
-    cum_incl = jnp.cumsum(log_t, axis=-1)
-    t_before = jnp.exp(cum_incl - log_t)             # exclusive transmittance
-    test_t = cum_incl < jnp.log(_T_EPS)              # T·(1-α) < eps, as-if
-    done = jnp.cumsum(test_t.astype(jnp.int32), axis=-1) > 0  # inclusive cummax
-    include = jnp.logical_not(done)
+    # transmittance: exclusive cumprod of (1-α) along K — alpha ≤ 0.99 keeps
+    # (1-α) ≥ 0.01, so the product (and its autodiff) is well-conditioned,
+    # and one exp per element is the only transcendental in the kernel.
+    om = 1.0 - alpha                                  # (Tc, K, P)
+    om_shift = jnp.concatenate(
+        [jnp.ones_like(om[:, :1]), om[:, :-1]], axis=1)
+    t_before = jnp.cumprod(om_shift, axis=1)          # exclusive
+    t_incl = t_before * om                            # inclusive (monotone ↓)
+    include = t_incl >= _T_EPS                        # early-termination set
 
-    w = t_before * alpha * include.astype(alpha.dtype)        # (Tc, P, K)
-    img = jnp.einsum("tpk,tkc->tpc", w, rgb,
+    w = t_before * alpha * include.astype(alpha.dtype)        # (Tc, K, P)
+    img = jnp.einsum("tkp,tkc->tpc", w, rgb,
                      preferred_element_type=jnp.float32)       # MXU
-    depth_img = jnp.einsum("tpk,tk->tp", w, dep,
+    depth_img = jnp.einsum("tkp,tk->tp", w, dep,
                            preferred_element_type=jnp.float32)
-    t_final = jnp.exp(jnp.sum(log_t * include, axis=-1))       # (Tc, P)
+    t_final = jnp.min(jnp.where(include, t_incl, 1.0), axis=1)  # (Tc, P)
     img = img + t_final[..., None] * bg[None, None, :]
     alpha_img = 1.0 - t_final
     return img, depth_img, alpha_img                           # (Tc,P,3),(Tc,P),(Tc,P)
@@ -177,6 +181,8 @@ def rasterize(
     bin_chunk: int = 2048,
     antialias: bool = False,
     alive: jax.Array | None = None,
+    binning: str = "sort",
+    dup_capacity: int = 0,
 ) -> RenderOutput:
     """Full pipeline: project → bin → blend. Differentiable w.r.t. all float
     inputs (binning indices are integer and act as a fixed gather pattern,
@@ -186,9 +192,16 @@ def rasterize(
     splats = project_gaussians(
         means3d, cov3d, opacities, colors, viewmatrix, projmatrix,
         tanfovx, tanfovy, width, height, antialias=antialias, alive=alive)
-    bins = bin_splats(
-        jax.lax.stop_gradient(splats),
-        tiles_x=tiles_x, tiles_y=tiles_y, capacity=capacity, chunk=bin_chunk)
+    if binning == "sort":
+        bins = bin_splats_sorted(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, capacity=capacity,
+            dup_capacity=dup_capacity)
+    else:
+        bins = bin_splats(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, capacity=capacity,
+            chunk=bin_chunk)
     image, depth, alpha = blend(
         splats, bins, bg,
         tiles_x=tiles_x, tiles_y=tiles_y, width=width, height=height,

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.cameras import Camera
 from ..models import gaussians as G
-from ..ops.binning import bin_splats
+from ..ops.binning import bin_splats, bin_splats_sorted
 from ..ops.losses import l1_loss, ssim
 from ..ops.projection import TILE, project_gaussians
 from ..ops.rasterize import blend
@@ -69,9 +69,16 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
             lambda x: jax.lax.all_gather(x, axis, tiled=True), splats_l)
         my = jax.lax.axis_index(axis)
         ty0 = my * tiles_y_local
-        bins = bin_splats(jax.lax.stop_gradient(splats), tiles_x=tiles_x,
-                          tiles_y=tiles_y_local, capacity=pipe_cfg.tile_capacity,
-                          chunk=pipe_cfg.bin_chunk, tile_y0=ty0)
+        if pipe_cfg.binning == "sort":
+            bins = bin_splats_sorted(
+                jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                tiles_y=tiles_y_local, capacity=pipe_cfg.tile_capacity,
+                dup_capacity=pipe_cfg.dup_capacity, tile_y0=ty0)
+        else:
+            bins = bin_splats(
+                jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                tiles_y=tiles_y_local, capacity=pipe_cfg.tile_capacity,
+                chunk=pipe_cfg.bin_chunk, tile_y0=ty0)
         img, dep, alp = blend(splats, bins, bg, tiles_x=tiles_x,
                               tiles_y=tiles_y_local, width=width,
                               height=strip_h, tile_chunk=pipe_cfg.tile_chunk,

@@ -75,6 +75,8 @@ def make_train_step(
             tile_capacity=pipe_cfg.tile_capacity,
             tile_chunk=pipe_cfg.tile_chunk,
             bin_chunk=pipe_cfg.bin_chunk,
+                      binning=pipe_cfg.binning,
+                      dup_capacity=pipe_cfg.dup_capacity,
             antialias=pipe_cfg.antialias)
         ll1 = l1_loss(out.image, camera.image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
@@ -144,6 +146,8 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       tile_capacity=pipe_cfg.tile_capacity,
                       tile_chunk=pipe_cfg.tile_chunk,
                       bin_chunk=pipe_cfg.bin_chunk,
+                      binning=pipe_cfg.binning,
+                      dup_capacity=pipe_cfg.dup_capacity,
                       antialias=pipe_cfg.antialias)
 
     return eval_render

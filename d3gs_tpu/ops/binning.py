@@ -77,55 +77,73 @@ def bin_splats_sorted(
         dup_capacity = 16 * n
     m_cap = dup_capacity
 
-    depth_key = jnp.where(splats.visible, splats.depths, jnp.inf)
+    # TPU has no hardware integer divide — all / and % below are either by
+    # powers of two (bit shifts) or via exact float32 division + correction.
+    shift = max(int(n).bit_length(), 1)      # 2^shift > n  => rank fits
+    assert (num_tiles + 1) << shift < 2 ** 31, \
+        "tile/rank key exceeds int32; reduce tiles or gaussian capacity"
+
+    # clip bboxes to this shard's tile-row range [tile_y0, tile_y0+tiles_y)
+    # BEFORE sorting, so zero-coverage Gaussians can be pushed to the end of
+    # the depth order and the alive ones tile [0, total) contiguously.
+    y0 = jnp.asarray(tile_y0, jnp.int32)
+    ty_lo_u = jnp.maximum(splats.tile_min[:, 1], y0)
+    ty_hi_u = jnp.minimum(splats.tile_max[:, 1], y0 + tiles_y)
+    bw_u = (splats.tile_max[:, 0] - splats.tile_min[:, 0]).astype(jnp.int32)
+    bh_u = jnp.maximum(ty_hi_u - ty_lo_u, 0).astype(jnp.int32)
+    cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)
+
+    depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
     order = jnp.argsort(depth_key)            # rank -> gaussian id
 
     tmin = splats.tile_min[order]
-    tmax = splats.tile_max[order]
-    vis = splats.visible[order]
-
-    # clip each bbox to this shard's tile-row range [tile_y0, tile_y0+tiles_y)
-    ty_lo = jnp.maximum(tmin[:, 1], jnp.asarray(tile_y0, jnp.int32))
-    ty_hi = jnp.minimum(tmax[:, 1], jnp.asarray(tile_y0, jnp.int32) + tiles_y)
-    bw = (tmax[:, 0] - tmin[:, 0]).astype(jnp.int32)
-    bh = jnp.maximum(ty_hi - ty_lo, 0).astype(jnp.int32)
-    cnt = jnp.where(vis, bw * bh, 0)
+    ty_lo = ty_lo_u[order]
+    bw = bw_u[order]
+    cnt = cnt_u[order]
     offsets = jnp.cumsum(cnt) - cnt           # exclusive, (N,)
     total = offsets[-1] + cnt[-1]
 
+    # ragged expand WITHOUT searchsorted (whose per-query binary search is
+    # ~20 gather passes over M — measured 84 ms at M=704k): scatter one mark
+    # at each alive segment start, then src = cumsum(marks) - 1. Alive
+    # segments are contiguous from 0, so marks are unique positions.
     m = jnp.arange(m_cap, dtype=jnp.int32)
-    src = jnp.searchsorted(offsets, m, side="right").astype(jnp.int32) - 1
+    mark_tgt = jnp.where(cnt > 0, offsets, m_cap)
+    marks = jnp.zeros(m_cap, jnp.int32).at[mark_tgt].add(1, mode="drop")
+    src = jnp.cumsum(marks) - 1
+    valid = (m < total) & (src >= 0)
     src = jnp.clip(src, 0, n - 1)
-    valid = (m < total) & (cnt[src] > 0)
     j = m - offsets[src]
     w_src = jnp.maximum(bw[src], 1)
-    tx = tmin[src, 0] + j % w_src
-    ty = ty_lo[src] + j // w_src
+    # j // w and j % w with a per-entry divisor, via exact f32 division
+    # (j < 2^24 so the float path is exact up to one ulp, corrected below)
+    q = jnp.floor(j.astype(jnp.float32) / w_src.astype(jnp.float32)) \
+        .astype(jnp.int32)
+    r = j - q * w_src
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
+    r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
+    tx = tmin[src, 0] + r
+    ty = ty_lo[src] + q
     local_tile = (ty - tile_y0) * tiles_x + tx          # (M,)
 
-    stride = n + 1
-    big = num_tiles * stride
-    key = jnp.where(valid, local_tile * stride + src, big)
-    if (num_tiles + 1) * stride >= 2 ** 31:
-        key = key.astype(jnp.int64)
-        stride = jnp.int64(stride)
+    big = (num_tiles << shift)
+    key = jnp.where(valid, (local_tile << shift) | src, big)
     key_sorted = jnp.sort(key)
 
-    tile_of = (key_sorted // stride).astype(jnp.int32)
-    rank_of = (key_sorted % stride).astype(jnp.int32)   # depth rank
+    tile_of = key_sorted >> shift
+    rank_of = key_sorted & ((1 << shift) - 1)           # depth rank
     starts = jnp.searchsorted(
-        key_sorted, (jnp.arange(num_tiles + 1) * stride).astype(key_sorted.dtype),
+        key_sorted, jnp.arange(num_tiles + 1) << shift,
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
-    pos = m - starts[jnp.minimum(tile_of, num_tiles - 1)]
-    ok = (key_sorted < big) & (pos < capacity)
-    tgt = jnp.where(ok, tile_of * capacity + pos, num_tiles * capacity)
-    gauss = order[jnp.minimum(rank_of, n - 1)].astype(jnp.int32)
-
-    flat = jnp.full((num_tiles * capacity,), n, jnp.int32)
-    flat = flat.at[tgt].set(gauss, mode="drop", unique_indices=True)
-    return TileBins(tile_lists=flat.reshape(num_tiles, capacity),
-                    counts=counts, order=order)
+    # list construction is a pure gather: tile t's k-th entry sits at
+    # sorted position starts[t] + k
+    gauss_sorted = order[jnp.minimum(rank_of, n - 1)].astype(jnp.int32)
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    idx = jnp.clip(starts[:-1, None] + k[None, :], 0, m_cap - 1)
+    lists = jnp.where(k[None, :] < jnp.minimum(counts, capacity)[:, None],
+                      gauss_sorted[idx], n)
+    return TileBins(tile_lists=lists, counts=counts, order=order)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",

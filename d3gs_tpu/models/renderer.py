@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 from ..data.cameras import Camera
 from ..ops.projection import TILE, project_gaussians
-from ..ops.binning import bin_splats, bin_splats_sorted
-from ..ops.rasterize import RenderOutput, blend
+from ..ops.binning import bin_splats, bin_splats_records, bin_splats_sorted
+from ..ops.rasterize import RenderOutput, blend, blend_records, pack_records
 from ..ops.sh import eval_sh_upto
 from ..ops.transforms import apply_se3, cov3d_packed
 from .gaussians import GaussianState
@@ -51,7 +51,7 @@ def render(
     tile_chunk: int = 40,
     bin_chunk: int = 2048,
     antialias: bool = False,
-    binning: str = "sort",
+    binning: str = "packed",
     dup_capacity: int = 0,
 ) -> RenderOutput:
     p = gaussians.params
@@ -99,6 +99,17 @@ def render(
         antialias=antialias, alive=gaussians.alive)
     if means2d_tap is not None:
         splats = splats._replace(means2d=splats.means2d + means2d_tap)
+    if binning == "packed":
+        rbins = bin_splats_records(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity)
+        records = pack_records(splats)
+        image, depth, alpha = blend_records(
+            records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
+            width=width, height=height, tile_capacity=tile_capacity,
+            tile_chunk=tile_chunk)
+        return RenderOutput(image=image, depth=depth, alpha=alpha,
+                            radii=splats.radii, counts=rbins.counts)
     if binning == "sort":
         bins = bin_splats_sorted(
             jax.lax.stop_gradient(splats),

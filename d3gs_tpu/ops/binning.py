@@ -113,8 +113,13 @@ def bin_splats_sorted(
     src = jnp.cumsum(marks) - 1
     valid = (m < total) & (src >= 0)
     src = jnp.clip(src, 0, n - 1)
-    j = m - offsets[src]
-    w_src = jnp.maximum(bw[src], 1)
+    # gathers cost per index on TPU: fetch (offset, tmin_x, ty_lo, bw)
+    # as ONE 4-int row instead of four scalar gathers
+    expand_tab = jnp.stack(
+        [offsets, tmin[:, 0], ty_lo, jnp.maximum(bw, 1)], axis=-1)
+    row4 = expand_tab[src]                                 # (M, 4)
+    j = m - row4[:, 0]
+    w_src = row4[:, 3]
     # j // w and j % w with a per-entry divisor, via exact f32 division
     # (j < 2^24 so the float path is exact up to one ulp, corrected below)
     q = jnp.floor(j.astype(jnp.float32) / w_src.astype(jnp.float32)) \
@@ -122,8 +127,8 @@ def bin_splats_sorted(
     r = j - q * w_src
     q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
     r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
-    tx = tmin[src, 0] + r
-    ty = ty_lo[src] + q
+    tx = row4[:, 1] + r
+    ty = row4[:, 2] + q
     local_tile = (ty - tile_y0) * tiles_x + tx          # (M,)
 
     big = (num_tiles << shift)
@@ -144,6 +149,88 @@ def bin_splats_sorted(
     lists = jnp.where(k[None, :] < jnp.minimum(counts, capacity)[:, None],
                       gauss_sorted[idx], n)
     return TileBins(tile_lists=lists, counts=counts, order=order)
+
+
+class RecordBins(NamedTuple):
+    """Binning output for the packed-record blend path."""
+    rank_sorted: jax.Array   # (M,) depth rank of each sorted duplicate
+    starts: jax.Array        # (T+1,) segment start of each tile
+    counts: jax.Array        # (T,)
+    order: jax.Array         # (N,) depth order (rank -> gaussian id)
+
+
+def bin_splats_records(
+    splats: ProjectedSplats,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    dup_capacity: int = 0,
+    tile_y0: jax.Array | int = 0,
+) -> RecordBins:
+    """Sort-based binning for the packed-record blend (rasterize.py
+    blend_records): identical expansion/sort as bin_splats_sorted, but the
+    output is the sorted duplicate list itself (depth ranks + per-tile
+    segment starts) — no (T, K) index lists, no capacity cap. TPU rationale:
+    gathers cost per INDEX (~90M idx/s measured), so the blend gathers ONE
+    (M, 16) record row per duplicate instead of 5 scalar fields per (T, K)
+    slot, and tile slabs address contiguous sorted rows."""
+    n = splats.depths.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if dup_capacity <= 0:
+        dup_capacity = 16 * n
+    m_cap = dup_capacity
+    shift = max(int(n).bit_length(), 1)
+    assert (num_tiles + 1) << shift < 2 ** 31
+
+    y0 = jnp.asarray(tile_y0, jnp.int32)
+    ty_lo_u = jnp.maximum(splats.tile_min[:, 1], y0)
+    ty_hi_u = jnp.minimum(splats.tile_max[:, 1], y0 + tiles_y)
+    bw_u = (splats.tile_max[:, 0] - splats.tile_min[:, 0]).astype(jnp.int32)
+    bh_u = jnp.maximum(ty_hi_u - ty_lo_u, 0).astype(jnp.int32)
+    cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)
+
+    depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
+    order = jnp.argsort(depth_key)
+
+    tmin = splats.tile_min[order]
+    ty_lo = ty_lo_u[order]
+    bw = bw_u[order]
+    cnt = cnt_u[order]
+    offsets = jnp.cumsum(cnt) - cnt
+    total = offsets[-1] + cnt[-1]
+
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    mark_tgt = jnp.where(cnt > 0, offsets, m_cap)
+    marks = jnp.zeros(m_cap, jnp.int32).at[mark_tgt].add(1, mode="drop")
+    src = jnp.cumsum(marks) - 1
+    valid = (m < total) & (src >= 0)
+    src = jnp.clip(src, 0, n - 1)
+    # gathers cost per index on TPU: fetch (offset, tmin_x, ty_lo, bw)
+    # as ONE 4-int row instead of four scalar gathers
+    expand_tab = jnp.stack(
+        [offsets, tmin[:, 0], ty_lo, jnp.maximum(bw, 1)], axis=-1)
+    row4 = expand_tab[src]                                 # (M, 4)
+    j = m - row4[:, 0]
+    w_src = row4[:, 3]
+    q = jnp.floor(j.astype(jnp.float32) / w_src.astype(jnp.float32)) \
+        .astype(jnp.int32)
+    r = j - q * w_src
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
+    r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
+    tx = row4[:, 1] + r
+    ty = row4[:, 2] + q
+    local_tile = (ty - y0) * tiles_x + tx
+
+    big = num_tiles << shift
+    key = jnp.where(valid, (local_tile << shift) | src, big)
+    key_sorted = jnp.sort(key)
+    rank_sorted = key_sorted & ((1 << shift) - 1)
+    starts = jnp.searchsorted(
+        key_sorted, jnp.arange(num_tiles + 1) << shift,
+        side="left").astype(jnp.int32)
+    counts = jnp.diff(starts)
+    return RecordBins(rank_sorted=rank_sorted, starts=starts, counts=counts,
+                      order=order)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",

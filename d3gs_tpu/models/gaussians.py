@@ -136,8 +136,14 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, *,
     f_dc[:n, 0] = np.asarray(rgb2sh(colors.astype(np.float32)))
     f_rest = np.zeros((cap, k - 1, 3), np.float32)
 
-    dist2 = np.maximum(
-        np.asarray(knn_mean_sq_dist(jnp.asarray(points, jnp.float32))), 1e-7)
+    if n > 150_000:
+        # large clouds: native grid-accelerated kNN on the host
+        from ..native import knn_mean_sq_dist_native
+        dist2 = np.maximum(knn_mean_sq_dist_native(points), 1e-7)
+    else:
+        dist2 = np.maximum(
+            np.asarray(knn_mean_sq_dist(jnp.asarray(points, jnp.float32))),
+            1e-7)
     scaling = np.zeros((cap, 3), np.float32)
     scaling[:n] = np.log(np.sqrt(dist2))[:, None]
 

@@ -19,14 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _auto_chunk(n: int) -> int:
+    """Bound the (chunk, N) distance-matrix tile to ~256 MB."""
+    return max(256, min(4096, (64 * 1024 * 1024) // max(n, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn_mean_sq_dist(points: jax.Array, k: int = 3, chunk: int = 4096) -> jax.Array:
+def knn_mean_sq_dist(points: jax.Array, k: int = 3, chunk: int = 0) -> jax.Array:
     """(N, 3) points -> (N,) mean squared distance to the k nearest neighbors.
 
     Self-distances are excluded. Matches simple-knn's distCUDA2 semantics for
     k=3.
     """
     n = points.shape[0]
+    if chunk == 0:
+        chunk = _auto_chunk(n)
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     sq_norms = jnp.sum(pts * pts, axis=-1)  # (Np,)

@@ -1,0 +1,66 @@
+"""Network viewer protocol round-trip + orbit camera sanity."""
+import json
+import socket
+import threading
+
+import numpy as np
+
+from d3gs_tpu.viewer import NetworkViewer, OrbitCamera
+
+
+def test_orbit_camera():
+    cam = OrbitCamera(64, 48, r=3.0)
+    p0 = cam.pose.copy()
+    cam.orbit(100, 0)
+    assert not np.allclose(cam.pose, p0)
+    cam.scale(1)
+    assert cam.radius < 3.0
+    v = cam.view
+    np.testing.assert_allclose(v @ cam.pose, np.eye(4), atol=1e-5)
+    assert cam.mvp.shape == (4, 4)
+
+
+def test_network_viewer_roundtrip():
+    viewer = NetworkViewer(port=0)
+    got = {}
+
+    def render_fn(cam, scale_mod):
+        got["cam"] = cam
+        got["scale"] = scale_mod
+        return np.full((cam.height, cam.width, 3), 0.5, np.float32)
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", viewer.port), timeout=10)
+        msg = {
+            "resolution_x": 8, "resolution_y": 4, "train": True,
+            "fov_x": 1.0, "fov_y": 0.8, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": True, "scaling_modifier": 1.5,
+            "view_matrix": list(np.eye(4).flatten().astype(float)),
+            "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+        }
+        data = json.dumps(msg).encode()
+        s.sendall(len(data).to_bytes(4, "little") + data)
+        img = b""
+        while len(img) < 8 * 4 * 3:
+            img += s.recv(4096)
+        verify_len = int.from_bytes(img[8 * 4 * 3:8 * 4 * 3 + 4] or
+                                    s.recv(4), "little")
+        got["img_len"] = len(img)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    handled = False
+    for _ in range(200):
+        if viewer.serve_once(render_fn, verify="ok"):
+            handled = True
+            break
+    t.join(timeout=10)
+    viewer.close()
+    assert handled
+    assert got["cam"].width == 8 and got["cam"].height == 4
+    assert got["scale"] == 1.5
+    # sign flips applied
+    wvt = got["cam"].world_view_transform
+    np.testing.assert_allclose(np.diag(wvt), [1, -1, -1, 1], atol=1e-6)

@@ -211,10 +211,9 @@ def read_colmap_scene(path, images=None, eval_split=False, llffhold=8):
 # ---------------------------------------------------------------------------
 
 def _nerfies_camera_from_json(path, scale):
+    """utils/camera_utils.py:91-112 subset."""
     with open(path) as fp:
         cj = json.load(fp)
-    if "tangential" in cj:
-        cj["tangential_distortion"] = cj["tangential"]
     return dict(
         orientation=np.array(cj["orientation"]),
         position=np.array(cj["position"]),
@@ -225,9 +224,10 @@ def _nerfies_camera_from_json(path, scale):
     )
 
 
-def read_nerfies_scene(path, eval_split=False):
-    """Nerfies/HyperNeRF (reference dataset_readers.py:411-556): vrig scenes
-    split left/right cameras train/test; interp scenes hold out every 4th."""
+def read_nerfies_cameras(path):
+    """Reference readNerfiesCameras (dataset_readers.py:398-474): vrig/NeRF
+    scenes use the dataset's train/val ids; interp/hyper scenes hold out
+    every 4th (offset 2); bare HyperNeRF trains on every 4th only."""
     with open(os.path.join(path, "scene.json")) as f:
         scene_json = json.load(f)
     with open(os.path.join(path, "metadata.json")) as f:
@@ -238,37 +238,45 @@ def read_nerfies_scene(path, eval_split=False):
     coord_scale = scene_json["scale"]
     scene_center = np.array(scene_json["center"])
 
-    name = os.path.basename(os.path.normpath(path))
-    if "vrig" in name or os.path.exists(os.path.join(path, "rgb", "4x")):
-        default_ratio = 0.25
-    else:
-        default_ratio = 0.5
-    if "vrig" in name:
-        train_names = dataset_json["train_ids"]
-        val_names = dataset_json["val_ids"]
+    name = path.rstrip("/").split("/")[-2] if "/" in path.rstrip("/") else ""
+    if name.startswith("vrig"):
+        train_img = dataset_json["train_ids"]
+        val_img = dataset_json["val_ids"]
+        all_img = list(train_img) + list(val_img)
         ratio = 0.25
+    elif name.lower().startswith("nerf"):
+        train_img = dataset_json["train_ids"]
+        val_img = dataset_json["val_ids"]
+        all_img = list(train_img) + list(val_img)
+        ratio = 1.0
+    elif name.startswith("interp") or name.startswith("hyper"):
+        all_id = dataset_json["ids"]
+        train_img = all_id[::4]
+        val_img = all_id[2::4]
+        all_img = list(train_img) + list(val_img)
+        ratio = 0.5
     else:
-        all_names = dataset_json["ids"]
-        train_names = all_names[::4] if False else all_names
-        val_names = all_names[2::4] if eval_split else []
-        ratio = default_ratio
+        train_img = dataset_json["ids"][::4]
+        all_img = list(train_img)
+        ratio = 0.5
+    train_num = len(train_img)
 
-    all_names = list(train_names) + list(val_names)
-    times = [meta_json[n]["time_id"] for n in all_names]
-    max_time = max(times) if times else 1
-    times = [t / max_time if max_time > 0 else 0.0 for t in times]
+    all_time = [meta_json[i]["time_id"] for i in all_img]
+    max_time = max(all_time) if all_time else 1
+    all_time = [t / max_time if max_time > 0 else 0.0 for t in all_time]
 
-    ratio_dir = {0.25: "4x", 0.5: "2x", 1.0: "1x"}[ratio]
     infos = []
-    for idx, n in enumerate(all_names):
+    for idx, im in enumerate(all_img):
         cam = _nerfies_camera_from_json(
-            os.path.join(path, "camera", n + ".json"), ratio)
-        orientation = cam["orientation"]
-        position = cam["position"]
-        # nerfies stores world→cam orientation rows; position is camera center
-        R = orientation.T
-        T = -orientation @ (position - scene_center) * coord_scale
-        image_path = os.path.join(path, "rgb", ratio_dir, n + ".png")
+            os.path.join(path, "camera", im + ".json"), ratio)
+        position = (cam["position"] - scene_center) * coord_scale
+        orientation = cam["orientation"].T
+        # reference: R = orientation.T (camera-to-world rows transposed),
+        # T = -position @ orientation
+        R = orientation
+        T = -position @ orientation
+        image_path = os.path.join(path, "rgb", f"{int(1 / ratio)}x",
+                                  im + ".png")
         image = _load_image(image_path)[..., :3]
         h, w = image.shape[:2]
         focal = cam["focal_length"]
@@ -276,18 +284,26 @@ def read_nerfies_scene(path, eval_split=False):
             uid=idx, R=R, T=T,
             fovx=focal2fov(focal, w), fovy=focal2fov(focal, h),
             image=image.astype(np.float32), image_path=image_path,
-            image_name=n, width=w, height=h, fid=times[idx]))
+            image_name=Path(image_path).stem, width=w, height=h,
+            fid=all_time[idx]))
+    return infos, train_num, scene_center, coord_scale
 
-    n_train = len(train_names)
-    train, test = infos[:n_train], infos[n_train:]
+
+def read_nerfies_scene(path, eval_split=False, rng_seed=0):
+    """Reference readNerfiesInfo (dataset_readers.py:476-509)."""
+    infos, train_num, scene_center, coord_scale = read_nerfies_cameras(path)
+    if eval_split:
+        train, test = infos[:train_num], infos[train_num:]
+    else:
+        train, test = infos, []
     norm = get_nerfpp_norm(train)
 
     ply_path = os.path.join(path, "points3d.ply")
     if not os.path.exists(ply_path):
         pts = np.load(os.path.join(path, "points.npy"))
         pts = (pts - scene_center) * coord_scale
-        write_pointcloud_ply(ply_path, pts,
-                             np.full((len(pts), 3), 128.0))
+        shs = np.random.default_rng(rng_seed).random((len(pts), 3)) / 255.0
+        write_pointcloud_ply(ply_path, pts, np.asarray(sh2rgb(shs)) * 255)
     pts, colors, normals = read_pointcloud_ply(ply_path)
     if colors is None:
         colors = np.full_like(pts, 0.5)
@@ -295,3 +311,177 @@ def read_nerfies_scene(path, eval_split=False):
         normals = np.zeros_like(pts)
     return SceneData(BasicPointCloud(pts, colors, normals), train, test,
                      norm, ply_path)
+
+
+# ---------------------------------------------------------------------------
+# DTU (cameras_sphere.npz, Tensor4D style)
+# ---------------------------------------------------------------------------
+
+def _decompose_projection(P):
+    """K, R, t from a 3x4 projection (replaces cv2.decomposeProjectionMatrix
+    in dataset_readers.py:53-74): RQ decomposition with positive-diagonal K."""
+    import scipy.linalg
+    M = P[:3, :3]
+    K, R = scipy.linalg.rq(M)
+    signs = np.sign(np.diag(K))
+    signs[signs == 0] = 1
+    K = K * signs[None, :]
+    R = R * signs[:, None]
+    t = np.linalg.solve(K, P[:3, 3])
+    cam_center = -R.T @ t
+    K = K / K[2, 2]
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R.T
+    pose[:3, 3] = cam_center
+    return K, pose
+
+
+def read_dtu_cameras(path, render_camera):
+    """Reference readDTUCameras (dataset_readers.py:366-...): world_mat_i ·
+    scale_mat_i projections from cameras_sphere.npz; images in image/."""
+    camera_dict = np.load(os.path.join(path, render_camera))
+    images_lis = sorted(
+        os.path.join(path, "image", f) for f in
+        os.listdir(os.path.join(path, "image")))
+    n_images = len(images_lis)
+    infos = []
+    for idx in range(n_images):
+        image_path = images_lis[idx]
+        image = _load_image(image_path)[..., :3]
+        world_mat = camera_dict[f"world_mat_{idx}"].astype(np.float32)
+        scale_mat = camera_dict[f"scale_mat_{idx}"].astype(np.float32)
+        P = (world_mat @ scale_mat)[:3, :4]
+        K, pose = _decompose_projection(P)
+        R = pose[:3, :3]          # cam-to-world rotation
+        T = -pose[:3, :3].T @ pose[:3, 3]
+        h, w = image.shape[:2]
+        fovx = focal2fov(K[0, 0], w)
+        fovy = focal2fov(K[1, 1], h)
+        infos.append(CameraInfo(
+            uid=idx, R=R, T=T, fovx=fovx, fovy=fovy,
+            image=image.astype(np.float32), image_path=image_path,
+            image_name=Path(image_path).stem, width=w, height=h,
+            fid=idx / max(n_images - 1, 1)))
+    return infos
+
+
+def read_dtu_scene(path, render_camera="cameras_sphere.npz",
+                   object_camera="cameras_sphere.npz", rng_seed=0):
+    train = read_dtu_cameras(path, render_camera)
+    norm = get_nerfpp_norm(train)
+    ply_path = os.path.join(path, "points3d.ply")
+    if not os.path.exists(ply_path):
+        rng = np.random.default_rng(rng_seed)
+        xyz = rng.random((100_000, 3)) * 2.6 - 1.3
+        shs = rng.random((100_000, 3)) / 255.0
+        write_pointcloud_ply(ply_path, xyz, np.asarray(sh2rgb(shs)) * 255)
+    pts, colors, normals = read_pointcloud_ply(ply_path)
+    if colors is None:
+        colors = np.full_like(pts, 0.5)
+    if normals is None:
+        normals = np.zeros_like(pts)
+    return SceneData(BasicPointCloud(pts, colors, normals), train, [],
+                     norm, ply_path)
+
+
+# ---------------------------------------------------------------------------
+# Plenoptic Video / Neu3D (poses_bounds.npy + frames/<cam>/<frame>.png)
+# ---------------------------------------------------------------------------
+
+def read_plenoptic_cameras(path, npy_file, split, hold_id, num_images):
+    """Reference readCamerasFromNpy (dataset_readers.py:512-556)."""
+    import glob as globlib
+    infos = []
+    video_paths = sorted(globlib.glob(os.path.join(path, "frames/*")))
+    poses_bounds = np.load(os.path.join(path, npy_file))
+    poses = poses_bounds[:, :15].reshape(-1, 3, 5)
+    H, W, focal = poses[0, :, -1]
+    n_cameras = poses.shape[0]
+    poses = np.concatenate(
+        [poses[..., 1:2], -poses[..., :1], poses[..., 2:4]], -1)
+    bottoms = np.tile(np.array([0, 0, 0, 1.0]).reshape(1, 1, 4),
+                      (poses.shape[0], 1, 1))
+    poses = np.concatenate([poses, bottoms], axis=1)
+    poses = poses @ np.diag([1, -1, -1, 1])
+
+    i_test = np.array(hold_id)
+    video_list = i_test if split != "train" else sorted(
+        set(range(n_cameras)) - set(i_test))
+
+    for i in video_list:
+        video_path = video_paths[i]
+        c2w = poses[i]
+        matrix = np.linalg.inv(np.array(c2w))
+        R = np.transpose(matrix[:3, :3])
+        T = matrix[:3, 3]
+        image_names = sorted(os.listdir(video_path))[:num_images]
+        n_frames = num_images
+        for idx, image_name in enumerate(image_names):
+            image_path = os.path.join(video_path, image_name)
+            image = _load_image(image_path)[..., :3]
+            h, w = image.shape[:2]
+            infos.append(CameraInfo(
+                uid=idx, R=R, T=T,
+                fovx=focal2fov(focal, w), fovy=focal2fov(focal, h),
+                image=image.astype(np.float32), image_path=image_path,
+                image_name=image_name, width=w, height=h,
+                fid=idx / max(n_frames - 1, 1)))
+    return infos
+
+
+def read_plenoptic_scene(path, eval_split=False, num_images=24,
+                         hold_id=(0,), rng_seed=0):
+    """Reference readPlenopticVideoDataset (dataset_readers.py:559-597)."""
+    train = read_plenoptic_cameras(path, "poses_bounds.npy", "train",
+                                   list(hold_id), num_images)
+    test = read_plenoptic_cameras(path, "poses_bounds.npy", "test",
+                                  list(hold_id), num_images)
+    if not eval_split:
+        train = train + test
+        test = []
+    norm = get_nerfpp_norm(train)
+    ply_path = os.path.join(path, "points3D.ply")
+    if not os.path.exists(ply_path):
+        rng = np.random.default_rng(rng_seed)
+        xyz = rng.random((100_000, 3)) * 2.6 - 1.3
+        shs = rng.random((100_000, 3)) / 255.0
+        write_pointcloud_ply(ply_path, xyz, np.asarray(sh2rgb(shs)) * 255)
+    pts, colors, normals = read_pointcloud_ply(ply_path)
+    if colors is None:
+        colors = np.full_like(pts, 0.5)
+    if normals is None:
+        normals = np.zeros_like(pts)
+    return SceneData(BasicPointCloud(pts, colors, normals), train, test,
+                     norm, ply_path)
+
+
+# Registry (reference sceneLoadTypeCallbacks, dataset_readers.py:599-605;
+# the reference registers "dynamic360" in Scene but ships no callback — a
+# latent KeyError we do not reproduce: transforms.json routes to the
+# blender-style reader with a single transforms file).
+def read_dynamic360_scene(path, rng_seed=0):
+    infos = read_cameras_from_transforms(path, "transforms.json", False)
+    norm = get_nerfpp_norm(infos)
+    ply_path = os.path.join(path, "points3d.ply")
+    if not os.path.exists(ply_path):
+        rng = np.random.default_rng(rng_seed)
+        xyz = rng.random((100_000, 3)) * 2.6 - 1.3
+        shs = rng.random((100_000, 3)) / 255.0
+        write_pointcloud_ply(ply_path, xyz, np.asarray(sh2rgb(shs)) * 255)
+    pts, colors, normals = read_pointcloud_ply(ply_path)
+    if colors is None:
+        colors = np.full_like(pts, 0.5)
+    if normals is None:
+        normals = np.zeros_like(pts)
+    return SceneData(BasicPointCloud(pts, colors, normals), infos, [],
+                     norm, ply_path)
+
+
+scene_load_type_callbacks = {
+    "colmap": read_colmap_scene,
+    "blender": read_nerf_synthetic,
+    "dtu": read_dtu_scene,
+    "nerfies": read_nerfies_scene,
+    "plenoptic": read_plenoptic_scene,
+    "dynamic360": read_dynamic360_scene,
+}

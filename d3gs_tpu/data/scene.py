@@ -19,7 +19,9 @@ from .. import config as cfg
 from ..models import gaussians as G
 from .cameras import Camera, camera_from_info, camera_to_json
 from .dataset_readers import (SceneData, read_colmap_scene,
-                              read_nerf_synthetic, read_nerfies_scene)
+                              read_dtu_scene, read_dynamic360_scene,
+                              read_nerf_synthetic, read_nerfies_scene,
+                              read_plenoptic_scene)
 from .ply import read_ply, write_ply
 
 SceneInfo = SceneData
@@ -51,6 +53,12 @@ def load_scene_data(model: cfg.ModelParams) -> SceneData:
                                    model.eval)
     if kind == "nerfies":
         return read_nerfies_scene(model.source_path, model.eval)
+    if kind == "dtu":
+        return read_dtu_scene(model.source_path)
+    if kind == "plenoptic":
+        return read_plenoptic_scene(model.source_path, model.eval, 24)
+    if kind == "dynamic360":
+        return read_dynamic360_scene(model.source_path)
     raise NotImplementedError(f"dataset type {kind!r} not yet supported")
 
 

@@ -184,13 +184,9 @@ def blend(
     return assemble(img), assemble(dep), assemble(alp)
 
 
-def _blend_record_chunk(slab, origin, count, bg):
-    """Blend one chunk of tiles from packed record slabs.
-
-    slab (Tc, K, 16) — rows are this tile's front-to-back records;
-    origin (Tc, 2) pixel origin; count (Tc,) true per-tile entry counts.
-    Same math as _blend_tile_chunk but field extraction is slicing, not
-    gathering."""
+def _blend_record_core(slab, origin, count, bg):
+    """Forward blend of one tile chunk from packed record slabs; also
+    returns the intermediates the analytic backward needs."""
     tc, kk, _ = slab.shape
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, kk), 1)
     live = (k_ids < count[:, None]).astype(jnp.float32)[..., None]  # (Tc,K,1)
@@ -210,24 +206,133 @@ def _blend_record_chunk(slab, origin, count, bg):
     dy = mu[..., 1:2] - py
     power = -0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy) \
         - con[..., 1:2] * dx * dy
-    alpha = jnp.minimum(_ALPHA_MAX, opa * jnp.exp(power))
-    alpha = jnp.where((power > 0.0) | (alpha < _ALPHA_MIN), 0.0, alpha)
+    expp = jnp.exp(power)
+    raw = opa * expp
+    clamped = (raw > _ALPHA_MAX) | (power > 0.0) | (raw < _ALPHA_MIN)
+    alpha = jnp.where((power > 0.0) | (raw < _ALPHA_MIN), 0.0,
+                      jnp.minimum(_ALPHA_MAX, raw))
 
     om = 1.0 - alpha
     om_shift = jnp.concatenate(
         [jnp.ones_like(om[:, :1]), om[:, :-1]], axis=1)
     t_before = jnp.cumprod(om_shift, axis=1)
     t_incl = t_before * om
-    include = t_incl >= _T_EPS
+    include = (t_incl >= _T_EPS).astype(alpha.dtype)
 
-    w = t_before * alpha * include.astype(alpha.dtype)
+    w = t_before * alpha * include
     img = jnp.einsum("tkp,tkc->tpc", w, rgb,
                      preferred_element_type=jnp.float32)
     depth_img = jnp.einsum("tkp,tk->tp", w, dep[..., 0],
                            preferred_element_type=jnp.float32)
-    t_final = jnp.min(jnp.where(include, t_incl, 1.0), axis=1)
+    t_final = jnp.min(jnp.where(include > 0, t_incl, 1.0), axis=1)
     img = img + t_final[..., None] * bg[None, None, :]
-    return img, depth_img, 1.0 - t_final
+    inter = (alpha, t_before, include, w, expp, clamped, dx, dy, rgb, dep,
+             con, t_final)
+    return img, depth_img, 1.0 - t_final, inter
+
+
+@jax.custom_vjp
+def _blend_record_chunk(slab, origin, count, bg):
+    """Blend one chunk of tiles. Custom VJP: the generic AD of cumprod +
+    min-reduction costs several extra (Tc,K,P) passes; the hand-derived
+    backward below is the classic suffix-sum form of the 3DGS blend
+    gradient (one reverse cumsum + elementwise + two matmuls):
+        dL/dα_k = G_w_k·T_k − (S_k + g_tf·t_final·I_k)/(1−α_k),
+        S_k = Σ_{m>k} G_w_m·w_m  (reverse exclusive cumsum).
+    """
+    img, depth_img, alpha_img, _ = _blend_record_core(slab, origin, count, bg)
+    return img, depth_img, alpha_img
+
+
+def _blend_fwd(slab, origin, count, bg):
+    img, depth_img, alpha_img, _ = _blend_record_core(slab, origin, count, bg)
+    # rematerialize in the backward: residuals are just the inputs
+    return (img, depth_img, alpha_img), (slab, origin, count, bg)
+
+
+def _blend_bwd(res, grads):
+    """Analytic backward. The five spatial reductions (∂L/∂conic, ∂L/∂mean)
+    are polynomials in the LOCAL pixel coordinates (lx, ly), so they all
+    collapse into one MXU contraction of g_power against the shared monomial
+    basis {1, lx, ly, lx², lx·ly, ly²}: a (Tc·K, P) @ (P, 6) matmul replaces
+    five elementwise-reduce passes over (Tc, K, P)."""
+    slab, origin, count, bg = res
+    g_img, g_dep, g_alpha_img = grads
+    _, _, _, inter = _blend_record_core(slab, origin, count, bg)
+    (alpha, t_before, include, w, expp, clamped, dx, dy, rgb, dep, con,
+     t_final) = inter
+
+    g_tf = -g_alpha_img + jnp.einsum("tpc,c->tp", g_img, bg)      # (Tc, P)
+
+    G_w = jnp.einsum("tpc,tkc->tkp", g_img, rgb,
+                     preferred_element_type=jnp.float32) \
+        + g_dep[:, None, :] * dep                                  # (Tc,K,P)
+
+    G_rgb = jnp.einsum("tkp,tpc->tkc", w, g_img,
+                       preferred_element_type=jnp.float32)
+    G_dep_k = jnp.einsum("tkp,tp->tk", w, g_dep,
+                         preferred_element_type=jnp.float32)[..., None]
+
+    # suffix sum S_k = Σ_{m>k} G_w_m w_m  (reverse exclusive cumsum over K)
+    gw_w = G_w * w
+    suffix = jnp.cumsum(gw_w[:, ::-1], axis=1)[:, ::-1] - gw_w     # (Tc,K,P)
+
+    inv_om = 1.0 / (1.0 - alpha)                                   # α ≤ 0.99
+    g_alpha = G_w * t_before * include \
+        - (suffix + g_tf[:, None, :] * t_final[:, None, :] * include) * inv_om
+
+    # through the clamp: α = opa·exp(power) where not clamped
+    g_raw = jnp.where(clamped, 0.0, g_alpha)
+    g_power = g_raw * alpha                                        # (Tc,K,P)
+
+    # monomial moments: M_j[t,k] = Σ_p g_power · {1, lx, ly, lx², lxly, ly²}
+    ly = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0).reshape(-1)
+    lx = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1).reshape(-1)
+    mono = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly],
+                     axis=-1)                                      # (P, 6)
+    M = jnp.einsum("tkp,pj->tkj", g_power, mono,
+                   preferred_element_type=jnp.float32)             # (Tc,K,6)
+    M1, Mx, My, Mxx, Mxy, Myy = (M[..., i] for i in range(6))
+
+    # dx = ux - lx, dy = uy - ly with ux = mu_x - origin_x (per record)
+    ux = slab[..., 0] - origin[:, None, 0]
+    uy = slab[..., 1] - origin[:, None, 1]
+    ca, cb, cc = slab[..., 2], slab[..., 3], slab[..., 4]
+
+    # Σ g_power·dx = ux·M1 - Mx, etc.
+    Sdx = ux * M1 - Mx
+    Sdy = uy * M1 - My
+    Sdxx = ux * ux * M1 - 2 * ux * Mx + Mxx
+    Sdyy = uy * uy * M1 - 2 * uy * My + Myy
+    Sdxy = ux * uy * M1 - ux * My - uy * Mx + Mxy
+
+    g_a = -0.5 * Sdxx
+    g_b = -Sdxy
+    g_c = -0.5 * Sdyy
+    g_mux = -(ca * Sdx + cb * Sdy)
+    g_muy = -(cc * Sdy + cb * Sdx)
+
+    # g_opa = Σ_p g_raw·expp = (Σ_p g_power)/opa where opa > 0
+    opa = slab[..., 8:9]
+    g_opa = jnp.where(jnp.abs(opa) > 1e-12, M1[..., None] / opa, 0.0)
+
+    tc, kk, _ = slab.shape
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, kk), 1)
+    live = (k_ids < count[:, None]).astype(jnp.float32)[..., None]
+    g_slab = jnp.concatenate([
+        g_mux[..., None], g_muy[..., None],
+        g_a[..., None], g_b[..., None], g_c[..., None],
+        G_rgb,
+        g_opa * live,           # opa entered as slab[...,8] * live
+        G_dep_k,
+        jnp.zeros(slab.shape[:2] + (slab.shape[2] - 10,), slab.dtype),
+    ], axis=-1)
+    g_bg = jnp.einsum("tp,tpc->c", t_final, g_img,
+                      preferred_element_type=jnp.float32)
+    return g_slab, None, None, g_bg
+
+
+_blend_record_chunk.defvjp(_blend_fwd, _blend_bwd)
 
 
 @functools.partial(
@@ -285,13 +390,14 @@ def blend_records(
         rank = bins.rank_sorted[pos]                     # (Tc, K) int gather
         row = jnp.where(k_arange[None, :] < ct[:, None], rank, n)
         slab = rec_by_depth[row]                         # (Tc, K, 16) rows
+        # no jax.checkpoint here: _blend_record_chunk's custom VJP saves the
+        # slab (cheap) and rematerializes the (Tc,K,P) intermediates itself,
+        # so the gathers run once
         return _blend_record_chunk(slab, org, ct, bg)
-
-    blend_fn = jax.checkpoint(chunk_fn)
 
     def body(_, inp):
         st, ct, org = inp
-        return None, blend_fn(st, ct, org)
+        return None, chunk_fn(st, ct, org)
 
     _, (img, dep, alp) = jax.lax.scan(body, None, (starts, counts, origins))
 

@@ -27,10 +27,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.cameras import Camera
 from ..models import gaussians as G
-from ..ops.binning import bin_splats, bin_splats_sorted
+from ..ops.binning import (bin_splats, bin_splats_records,
+                           bin_splats_sorted)
 from ..ops.losses import l1_loss, ssim
 from ..ops.projection import TILE, project_gaussians
-from ..ops.rasterize import blend
+from ..ops.rasterize import blend, blend_records, pack_records
 from ..ops.sh import eval_sh_upto
 from ..ops.transforms import cov3d_packed
 from .mesh import AXIS
@@ -69,6 +70,17 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
             lambda x: jax.lax.all_gather(x, axis, tiled=True), splats_l)
         my = jax.lax.axis_index(axis)
         ty0 = my * tiles_y_local
+        if pipe_cfg.binning == "packed":
+            rbins = bin_splats_records(
+                jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                tiles_y=tiles_y_local, dup_capacity=pipe_cfg.dup_capacity,
+                tile_y0=ty0)
+            img, dep, alp = blend_records(
+                pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                tiles_y=tiles_y_local, width=width, height=strip_h,
+                tile_capacity=pipe_cfg.tile_capacity,
+                tile_chunk=pipe_cfg.tile_chunk, tile_y0=ty0)
+            return img, dep, alp, radii_l, rbins.counts
         if pipe_cfg.binning == "sort":
             bins = bin_splats_sorted(
                 jax.lax.stop_gradient(splats), tiles_x=tiles_x,

@@ -25,6 +25,9 @@ def main(argv=None):
                                  "original"])
     parser.add_argument("--trajectories", action="store_true",
                         help="also export + plot Gaussian trajectories")
+    parser.add_argument("--benchmark", action="store_true",
+                        help="render-only FPS benchmark "
+                             "(reference render_baseline.py:57-74)")
     args = C.get_combined_args(parser, argv)
 
     model_cfg = C.extract_group(args, C.ModelParams)
@@ -83,6 +86,24 @@ def main(argv=None):
     elif args.mode == "original":
         RM.interpolate_view_original(mp, "test", iteration, test_views,
                                      state, dstate.params, render_at, bg)
+
+    if args.benchmark:
+        import time
+        view = test_views[0]
+        # warm up + compile
+        out = render_at(state, dstate.params, view, bg)
+        jax.block_until_ready(out.image)
+        n_frames = 100
+        t0 = time.perf_counter()
+        img = None
+        for i in range(n_frames):
+            out = render_at(state, dstate.params, view, bg)
+            img = out.image
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / n_frames
+        mrays = view.width * view.height / dt / 1e6
+        print(f"render-only: {1.0 / dt:.1f} FPS, {mrays:.1f} Mrays/s "
+              f"@ {view.width}x{view.height}")
 
     if args.trajectories:
         from d3gs_tpu.render_eval.trajectories import (export_trajectories,

@@ -62,7 +62,8 @@ class PipelineParams:
     tile_capacity: int = 1024       # per-tile splat list length K
     tile_chunk: int = 40            # tiles blended per scan step
     bin_chunk: int = 2048           # gaussians per binning scan step (scan path)
-    binning: str = "packed"         # "packed" (fast) | "sort" | "scan"
+    binning: str = "auto"           # "auto" (pallas on TPU, packed off-TPU)
+                                    # | "pallas" | "packed" | "sort" | "scan"
     dup_capacity: int = 0           # sort-path duplicate budget (0 = 16N)
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation

@@ -99,6 +99,23 @@ def render(
         antialias=antialias, alive=gaussians.alive)
     if means2d_tap is not None:
         splats = splats._replace(means2d=splats.means2d + means2d_tap)
+    if binning == "auto":
+        binning = "pallas" if jax.default_backend() == "tpu" else "packed"
+    if binning == "pallas":
+        # Pallas TPU kernel path: no per-tile capacity cap, early-terminating
+        # VMEM-resident blend (ops/pallas_blend.py). Off-TPU backends run the
+        # kernel in interpreter mode (tests); prefer "packed" there for speed.
+        from ..ops.pallas_blend import blend_records_pallas
+        rbins = bin_splats_records(
+            jax.lax.stop_gradient(splats),
+            tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity)
+        records = pack_records(splats)
+        image, depth, alpha = blend_records_pallas(
+            records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
+            width=width, height=height,
+            interpret=jax.default_backend() != "tpu")
+        return RenderOutput(image=image, depth=depth, alpha=alpha,
+                            radii=splats.radii, counts=rbins.counts)
     if binning == "packed":
         rbins = bin_splats_records(
             jax.lax.stop_gradient(splats),

@@ -159,6 +159,41 @@ class RecordBins(NamedTuple):
     order: jax.Array         # (N,) depth order (rank -> gaussian id)
 
 
+def _tile_max_power(mux, muy, ca, cb, cc, tx, ty):
+    """Max of the Gaussian exponent over tile (tx, ty)'s pixel rect.
+
+    Closed form: 0 if the mean is inside the rect, else the max over the
+    four edges (per-edge 1D quadratic, optimum clamped to the segment).
+    Matches the 'tight culling' trick in modern 3DGS rasterizers: a
+    duplicate whose max alpha over its tile is < 1/255 is skipped by every
+    pixel's alpha-min test AND consumes no transmittance, so dropping it is
+    output-exact."""
+    x0 = (tx * TILE).astype(jnp.float32)
+    x1 = x0 + (TILE - 1)
+    y0 = (ty * TILE).astype(jnp.float32)
+    y1 = y0 + (TILE - 1)
+
+    def power(dx, dy):
+        return -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+
+    def vedge(xe):
+        dx = xe - mux
+        dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12),
+                      y0 - muy, y1 - muy)
+        return power(dx, dy)
+
+    def hedge(ye):
+        dy = ye - muy
+        dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12),
+                      x0 - mux, x1 - mux)
+        return power(dx, dy)
+
+    pmax = jnp.maximum(jnp.maximum(vedge(x0), vedge(x1)),
+                       jnp.maximum(hedge(y0), hedge(y1)))
+    inside = (mux >= x0) & (mux <= x1) & (muy >= y0) & (muy <= y1)
+    return jnp.where(inside, 0.0, pmax)
+
+
 def bin_splats_records(
     splats: ProjectedSplats,
     *,
@@ -166,6 +201,7 @@ def bin_splats_records(
     tiles_y: int,
     dup_capacity: int = 0,
     tile_y0: jax.Array | int = 0,
+    tight_cull: bool = True,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
     blend_records): identical expansion/sort as bin_splats_sorted, but the
@@ -205,21 +241,32 @@ def bin_splats_records(
     src = jnp.cumsum(marks) - 1
     valid = (m < total) & (src >= 0)
     src = jnp.clip(src, 0, n - 1)
-    # gathers cost per index on TPU: fetch (offset, tmin_x, ty_lo, bw)
-    # as ONE 4-int row instead of four scalar gathers
-    expand_tab = jnp.stack(
-        [offsets, tmin[:, 0], ty_lo, jnp.maximum(bw, 1)], axis=-1)
-    row4 = expand_tab[src]                                 # (M, 4)
-    j = m - row4[:, 0]
-    w_src = row4[:, 3]
-    q = jnp.floor(j.astype(jnp.float32) / w_src.astype(jnp.float32)) \
-        .astype(jnp.int32)
+    # gathers cost per index on TPU: fetch every per-Gaussian field the
+    # expansion needs as ONE row (all values exact in f32: offsets < 2^24)
+    cols = [offsets.astype(jnp.float32),
+            tmin[:, 0].astype(jnp.float32),
+            ty_lo.astype(jnp.float32),
+            jnp.maximum(bw, 1).astype(jnp.float32)]
+    if tight_cull:
+        lnopa = jnp.log(jnp.maximum(splats.opacities[order], 1e-30))
+        cols += [splats.means2d[order, 0], splats.means2d[order, 1],
+                 splats.conics[order, 0], splats.conics[order, 1],
+                 splats.conics[order, 2], lnopa]
+    row = jnp.stack(cols, axis=-1)[src]                    # (M, 4 or 10)
+    j = m - row[:, 0].astype(jnp.int32)
+    w_src = row[:, 3].astype(jnp.int32)
+    q = jnp.floor(j.astype(jnp.float32) / row[:, 3]).astype(jnp.int32)
     r = j - q * w_src
     q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
     r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
-    tx = row4[:, 1] + r
-    ty = row4[:, 2] + q
+    tx = row[:, 1].astype(jnp.int32) + r
+    ty = row[:, 2].astype(jnp.int32) + q
     local_tile = (ty - y0) * tiles_x + tx
+
+    if tight_cull:
+        pmax = _tile_max_power(row[:, 4], row[:, 5], row[:, 6], row[:, 7],
+                               row[:, 8], tx, ty)
+        valid = valid & (pmax + row[:, 9] >= jnp.log(1.0 / 255.0))
 
     big = num_tiles << shift
     key = jnp.where(valid, (local_tile << shift) | src, big)

@@ -1,0 +1,525 @@
+"""Pallas TPU blend kernel: the rasterizer's hot loop as a custom kernel.
+
+TPU-native re-design of the reference CUDA `renderCUDA` fwd/bwd
+(submodules/depth-diff-gaussian-rasterization, SURVEY.md §2.3). The XLA
+packed path (rasterize.py::blend_records) is HBM/gather-bound: it processes a
+fixed K-capacity slab per tile, round-trips every (K, 256) intermediate
+through HBM, and pays two M-scale gathers. This kernel instead:
+
+  * reads the (tile, depth)-sorted duplicate records as CONTIGUOUS
+    KB-record blocks straight from HBM with double-buffered DMA — zero
+    gathers in the hot loop;
+  * keeps all per-tile intermediates in VMEM (one (256, KB) working set);
+  * early-terminates per tile once every pixel's transmittance is below
+    1e-4 — the CUDA kernel's per-pixel break, at block granularity. This
+    is exact: a contribution is included iff its inclusive transmittance
+    is >= 1e-4, identical to the dense path's `include` mask;
+  * computes the same analytic backward as rasterize.py::_blend_bwd
+    (suffix-sum form + monomial-moment MXU contraction), writing
+    per-duplicate gradient blocks that XLA reduces back to per-Gaussian
+    gradients.
+
+Layout: pixels (P=256) on sublanes, records (KB=128) on lanes. Record
+blocks are stored transposed as (Mb, 16, KB) so per-field row vectors
+(1, KB) broadcast against the (P, 1) pixel grid without in-kernel
+transposes. The cumulative-transmittance scan is a log2(KB) doubling
+ladder of lane rolls.
+
+Backward write routing: gradient blocks fully interior to one tile's
+segment are DMA'd to the main (Mb, 16, KB) output; each tile's first/last
+(possibly shared) blocks go to a per-tile edge output (T, 2, 16, KB) with
+non-owned lanes zeroed, so no block is written by two tiles. XLA masks
+out non-interior main blocks and scatter-adds both streams.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import RecordBins
+from .projection import TILE
+
+P = TILE * TILE          # pixels per tile
+KB = 128                 # records per block (lane width)
+_LOG_KB = 7
+_T_EPS = 1e-4
+_ALPHA_MIN = 1.0 / 255.0
+_ALPHA_MAX = 0.99
+_REC = 16                # packed record width (rasterize.RECORD_WIDTH)
+
+
+def _pixel_grid():
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    lx = (pidx & (TILE - 1)).astype(jnp.float32)      # (P, 1)
+    ly = (pidx >> 4).astype(jnp.float32)
+    return lx, ly
+
+
+def _block_alpha(blk, px, py, kg, s0, s1):
+    """Shared fwd math for one (16, KB) record block against (P, 1) pixels.
+
+    Returns alpha (P, KB) plus the pieces backward needs."""
+    mux, muy = blk[0:1], blk[1:2]
+    ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
+    opa = blk[8:9]
+    dx = mux - px                                      # (P, KB)
+    dy = muy - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = opa * jnp.exp(power)
+    live = (kg >= s0) & (kg < s1)                      # (1, KB)
+    bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
+    alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
+    clamped = bad | (raw > _ALPHA_MAX)
+    return alpha, clamped, power, raw
+
+
+def _scan_products(om, kcol):
+    """Inclusive cumprod along lanes (doubling ladder) + exclusive shift."""
+    prod = om
+    s = 1
+    while s < KB:
+        sh = pltpu.roll(prod, s, 1)
+        prod = prod * jnp.where(kcol < s, 1.0, sh)
+        s *= 2
+    excl = jnp.where(kcol < 1, 1.0, pltpu.roll(prod, 1, 1))
+    return prod, excl
+
+
+def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
+    t = pl.program_id(0)
+    s0 = starts_ref[t]
+    s1 = starts_ref[t + 1]
+    cnt = s1 - s0
+    b0 = s0 >> _LOG_KB
+    nb = jnp.where(cnt > 0, ((s1 - 1) >> _LOG_KB) - b0 + 1, 0)
+
+    lx, ly = _pixel_grid()
+    px = ox_ref[t].astype(jnp.float32) + lx
+    py = oy_ref[t].astype(jnp.float32) + ly
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(slab_ref.at[b0 + b], buf.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(nb > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(c):
+        b, tvec, img, dep, tfin = c
+        return (b < nb) & (jnp.max(tvec) >= _T_EPS)
+
+    def body(c):
+        b, tvec, img, dep, tfin = c
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma(1 - slot, b + 1).start()
+
+        dma(slot, b).wait()
+        blk = buf[slot]                                # (16, KB)
+        kg = (b0 + b) * KB + kcol
+        alpha, _, _, _ = _block_alpha(blk, px, py, kg, s0, s1)
+        prod, excl = _scan_products(1.0 - alpha, kcol)
+        tb = tvec * excl
+        ti = tvec * prod
+        inc = ti >= _T_EPS
+        w = jnp.where(inc, tb * alpha, 0.0)            # (P, KB)
+        rgb = blk[5:8]                                 # (3, KB)
+        dpt = blk[9:10]
+        img = img + jax.lax.dot_general(
+            w, rgb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (P, 3)
+        dep = dep + jax.lax.dot_general(
+            w, dpt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (P, 1)
+        tfin = jnp.minimum(tfin, jnp.min(jnp.where(inc, ti, 1.0), axis=1,
+                                         keepdims=True))
+        tvec = tvec * prod[:, KB - 1:KB]
+        return (b + 1, tvec, img, dep, tfin)
+
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+            jnp.ones((P, 1), jnp.float32))
+    b_f, tvec, img, dep, tfin = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed DMA if we early-terminated
+    @pl.when(b_f < nb)
+    def _():
+        dma(jax.lax.rem(b_f, 2), b_f).wait()
+
+    out_ref[0, :, 0:3] = img
+    out_ref[0, :, 3:4] = dep
+    out_ref[0, :, 4:5] = tfin
+    out_ref[0, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
+
+
+def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
+                gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
+    t = pl.program_id(0)
+    s0 = starts_ref[t]
+    s1 = starts_ref[t + 1]
+    cnt = s1 - s0
+    b0 = s0 >> _LOG_KB
+    nb = jnp.where(cnt > 0, ((s1 - 1) >> _LOG_KB) - b0 + 1, 0)
+
+    lx, ly = _pixel_grid()
+    ox = ox_ref[t].astype(jnp.float32)
+    oy = oy_ref[t].astype(jnp.float32)
+    px, py = ox + lx, oy + ly
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+    mono = jnp.concatenate(
+        [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly], axis=1)
+
+    g_img = g_ref[0, :, 0:3]                           # (P, 3)
+    g_dep = g_ref[0, :, 3:4]                           # (P, 1)
+    g_tf = g_ref[0, :, 4:5]
+    t_final = g_ref[0, :, 5:6]
+
+    def dma_r(slot, b):
+        return pltpu.make_async_copy(slab_ref.at[b0 + b], rbuf.at[slot],
+                                     rsem.at[slot])
+
+    def dma_w(slot, b):
+        return pltpu.make_async_copy(wbuf.at[slot], gmain_ref.at[b0 + b],
+                                     wsem.at[slot])
+
+    @pl.when(nb > 0)
+    def _():
+        dma_r(0, 0).start()
+
+    def replay(b, tvec, blk):
+        """Recompute per-block fwd quantities from the carried tvec."""
+        kg = (b0 + b) * KB + kcol
+        alpha, clamped, power, raw = _block_alpha(blk, px, py, kg, s0, s1)
+        prod, excl = _scan_products(1.0 - alpha, kcol)
+        tb = tvec * excl
+        ti = tvec * prod
+        inc = ti >= _T_EPS
+        w = jnp.where(inc, tb * alpha, 0.0)
+        return alpha, clamped, w, tb, inc, prod
+
+    # ---- pass A: total A = sum_k G_w_k w_k, and the saturation bound ----
+    def condA(c):
+        b, tvec, atot = c
+        return (b < nb) & (jnp.max(tvec) >= _T_EPS)
+
+    def bodyA(c):
+        b, tvec, atot = c
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma_r(1 - slot, b + 1).start()
+
+        dma_r(slot, b).wait()
+        blk = rbuf[slot]
+        alpha, _, w, _, _, prod = replay(b, tvec, blk)
+        gw = jax.lax.dot_general(g_img, blk[5:8], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) \
+            + g_dep * blk[9:10]                        # (P, KB)
+        atot = atot + jnp.sum(gw * w, axis=1, keepdims=True)
+        return (b + 1, tvec * prod[:, KB - 1:KB], atot)
+
+    b_eff, _, atot = jax.lax.while_loop(
+        condA, bodyA,
+        (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+         jnp.zeros((P, 1), jnp.float32)))
+
+    @pl.when(b_eff < nb)
+    def _():
+        dma_r(jax.lax.rem(b_eff, 2), b_eff).wait()
+
+    # ---- pass B: per-record gradients, suffix = A - inclusive prefix ----
+    edge_ref[0, 0] = jnp.zeros((_REC, KB), jnp.float32)
+    edge_ref[0, 1] = jnp.zeros((_REC, KB), jnp.float32)
+
+    @pl.when(b_eff > 0)
+    def _():
+        dma_r(0, 0).start()
+
+    gtt = g_tf * t_final                               # (P, 1)
+
+    def grad_block(b, tvec, pfx, blk):
+        alpha, clamped, w, tb, inc, prod = replay(b, tvec, blk)
+        rgb, dpt = blk[5:8], blk[9:10]
+        gw = jax.lax.dot_general(g_img, rgb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) \
+            + g_dep * dpt                              # (P, KB)
+        gww = gw * w
+        pin, _ = _scan_cumsum(gww, kcol)
+        pin = pin + pfx                                # inclusive prefix
+        suffix = atot - pin
+        inv_om = 1.0 / (1.0 - alpha)
+        incf = inc.astype(jnp.float32)
+        g_alpha = gw * tb * incf - (suffix + gtt * incf) * inv_om
+        g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
+        m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
+        mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
+        ux = blk[0:1] - ox
+        uy = blk[1:2] - oy
+        ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
+        sdx = ux * m1 - mx
+        sdy = uy * m1 - my
+        sdxx = ux * ux * m1 - 2.0 * ux * mx + mxx
+        sdyy = uy * uy * m1 - 2.0 * uy * my + myy
+        sdxy = ux * uy * m1 - ux * my - uy * mx + mxy
+        g_ca = -0.5 * sdxx
+        g_cb = -sdxy
+        g_cc = -0.5 * sdyy
+        g_mux = -(ca * sdx + cb * sdy)
+        g_muy = -(cc * sdy + cb * sdx)
+        opa = blk[8:9]
+        g_opa = jnp.where(jnp.abs(opa) > 1e-12, m1 / opa, 0.0)
+        g_rgb = jax.lax.dot_general(g_img, w, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        g_dpt = jax.lax.dot_general(g_dep, w, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        g_blk = jnp.concatenate(
+            [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
+             jnp.zeros((_REC - 10, KB), jnp.float32)], axis=0)
+        pfx = pfx + jnp.sum(gww, axis=1, keepdims=True)
+        return g_blk, tvec * prod[:, KB - 1:KB], pfx
+
+    def bodyB(b, c):
+        tvec, pfx, wcnt = c
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when((b + 1 < b_eff))
+        def _():
+            dma_r(1 - slot, b + 1).start()
+
+        def compute(tvec, pfx):
+            dma_r(slot, b).wait()
+            return grad_block(b, tvec, pfx, rbuf[slot])
+
+        def zero(tvec, pfx):
+            return jnp.zeros((_REC, KB), jnp.float32), tvec, pfx
+
+        g_blk, tvec, pfx = jax.lax.cond(b < b_eff, compute, zero, tvec, pfx)
+
+        is_first = b == 0
+        is_last = b == nb - 1
+
+        @pl.when(is_first)
+        def _():
+            edge_ref[0, 0] = g_blk
+
+        @pl.when(is_last & jnp.logical_not(is_first))
+        def _():
+            edge_ref[0, 1] = g_blk
+
+        interior = jnp.logical_not(is_first | is_last)
+
+        @pl.when(interior)
+        def _():
+            wslot = jax.lax.rem(wcnt, 2)
+
+            @pl.when(wcnt >= 2)
+            def _():
+                # interior write k targets block k+1; wait for slot reuse
+                dma_w(wslot, wcnt - 1).wait()
+
+            wbuf[wslot] = g_blk
+            dma_w(wslot, b).start()
+
+        return (tvec, pfx, wcnt + interior.astype(jnp.int32))
+
+    tvec, pfx, wcnt = jax.lax.fori_loop(
+        0, nb, bodyB,
+        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+         jnp.int32(0)))
+
+    # drain outstanding interior writes (blocks wcnt-1 and wcnt map back to
+    # interior writes wcnt-2, wcnt-1 which target blocks wcnt-1, wcnt)
+    @pl.when(wcnt >= 2)
+    def _():
+        dma_w(jax.lax.rem(wcnt, 2), wcnt - 1).wait()
+
+    @pl.when(wcnt >= 1)
+    def _():
+        dma_w(jax.lax.rem(wcnt - 1, 2), wcnt).wait()
+
+
+def _scan_cumsum(x, kcol):
+    """Inclusive cumsum along lanes via the same doubling ladder."""
+    acc = x
+    s = 1
+    while s < KB:
+        sh = pltpu.roll(acc, s, 1)
+        acc = acc + jnp.where(kcol < s, 0.0, sh)
+        s *= 2
+    excl = jnp.where(kcol < 1, 0.0, pltpu.roll(acc, 1, 1))
+    return acc, excl
+
+
+def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, _REC, KB), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))]),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
+        interpret=interpret,
+    )(starts, ox, oy, slab_blocks)
+
+
+def _bwd_pallas(slab_blocks, starts, ox, oy, gbuf, *, num_tiles, interpret):
+    mb = slab_blocks.shape[0]
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec((1, 2, _REC, KB),
+                                    lambda t, *_: (t, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((2, _REC, KB), jnp.float32),
+                            pltpu.VMEM((2, _REC, KB), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SemaphoreType.DMA((2,))]),
+        out_shape=[jax.ShapeDtypeStruct((mb, _REC, KB), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, 2, _REC, KB),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(starts, ox, oy, slab_blocks, gbuf)
+
+
+def _make_blocks(rec_pad, rank_pad):
+    """(N+1,16) records + (Mpad,) depth-ranks -> (Mb,16,KB) sorted blocks."""
+    slab = rec_pad[rank_pad]                           # (Mpad, 16)
+    mb = slab.shape[0] // KB
+    return slab.reshape(mb, KB, _REC).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _core(rec_pad, rank_pad, starts, ox, oy, num_tiles, interpret):
+    out, _ = _core_fwd(rec_pad, rank_pad, starts, ox, oy, num_tiles,
+                       interpret)
+    return out
+
+
+def _core_fwd(rec_pad, rank_pad, starts, ox, oy, num_tiles, interpret):
+    slab_blocks = _make_blocks(rec_pad, rank_pad)
+    out = _fwd_pallas(slab_blocks, starts, ox, oy, num_tiles=num_tiles,
+                      interpret=interpret)
+    return out, (slab_blocks, rank_pad, starts, ox, oy, out,
+                 rec_pad.shape[0])
+
+
+def _core_bwd(num_tiles, interpret, res, g):
+    slab_blocks, rank_pad, starts, ox, oy, out, n1 = res
+    mb = slab_blocks.shape[0]
+    t_final = out[:, :, 4:5]
+    gbuf = jnp.concatenate(
+        [g[:, :, 0:5], t_final, jnp.zeros_like(g[:, :, 0:2])], axis=-1)
+    g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, gbuf,
+                                 num_tiles=num_tiles, interpret=interpret)
+
+    # mask: main blocks are valid only if strictly interior to their tile
+    # (kernel routed each tile's first/last block to the edge stream)
+    blk_ids = jnp.arange(mb, dtype=jnp.int32)
+    t_of = jnp.clip(jnp.searchsorted(starts, blk_ids * KB, side="right") - 1,
+                    0, num_tiles - 1)
+    s0_b = starts[t_of]
+    s1_b = starts[t_of + 1]
+    bfirst = s0_b >> _LOG_KB
+    blast = jnp.where(s1_b > s0_b, (s1_b - 1) >> _LOG_KB, bfirst)
+    total = starts[num_tiles]
+    interior = ((blk_ids != bfirst) & (blk_ids != blast)
+                & (blk_ids * KB < total) & (s1_b > s0_b))
+    # where, not multiply: unwritten blocks hold uninitialized memory which
+    # may be NaN (NaN * 0 = NaN)
+    g_all = jnp.where(interior[:, None, None], g_main, 0.0)
+
+    # merge the edge stream in BLOCK space: each tile's first/last block is
+    # one whole (16, KB) row — ~2T indices, per-index scatter cost is tiny
+    eb0 = starts[:num_tiles] >> _LOG_KB                        # (T,)
+    cnt_t = starts[1:] - starts[:num_tiles]
+    eb1 = jnp.where(cnt_t > 0, (starts[1:] - 1) >> _LOG_KB, eb0)
+    e_blk = jnp.concatenate([eb0, eb1])
+    e_rows = jnp.concatenate([g_edge[:, 0], g_edge[:, 1]], axis=0)
+    g_all = g_all.at[e_blk].add(e_rows)
+
+    # reduce duplicates -> per-record grads. Measured on v5e at M=385k:
+    # plain row scatter-add 6.8 ms, sort17+cumsum+segment-diff ~9 ms end to
+    # end (the 17-operand sort itself is 2.7 ms but the per-column cumsums
+    # and searchsorted eat the win), segment_sum-over-sorted 3.4 ms but
+    # needs the sort first. Scatter-add is the best simple option; the real
+    # lever is shrinking M (tight culling in binning.py).
+    g_flat = g_all.transpose(0, 2, 1).reshape(mb * KB, _REC)
+    d_rec = jnp.zeros((n1, _REC), jnp.float32).at[rank_pad].add(g_flat)
+
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_rec, zero_i(rank_pad), zero_i(starts), zero_i(ox), zero_i(oy))
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
+                              "interpret"))
+def blend_records_pallas(
+    records: jax.Array,          # (N, 16) packed, ORIGINAL gaussian order
+    bins: RecordBins,
+    bg: jax.Array,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    width: int,
+    height: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for rasterize.blend_records with no tile-capacity
+    cap (full per-tile lists are blended, matching the CUDA semantics)."""
+    n = records.shape[0]
+    num_tiles = tiles_x * tiles_y
+    m = bins.rank_sorted.shape[0]
+    mpad = ((m + KB - 1) // KB) * KB
+
+    rec_pad = jnp.concatenate(
+        [records[bins.order],
+         jnp.zeros((1, records.shape[1]), records.dtype)], axis=0)
+    total = bins.starts[num_tiles]
+    rank_pad = jnp.where(
+        jnp.arange(mpad, dtype=jnp.int32) < total,
+        jnp.pad(bins.rank_sorted.astype(jnp.int32), (0, mpad - m)), n)
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    ox = (tids % tiles_x) * TILE
+    oy = (tids // tiles_x) * TILE
+
+    out = _core(rec_pad, rank_pad, bins.starts.astype(jnp.int32), ox, oy,
+                num_tiles, interpret)
+    img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
+    dep = out[:, :, 3]
+    alpha = 1.0 - out[:, :, 4]
+
+    def assemble(x):
+        ch = x.shape[2:]
+        x = x.reshape((tiles_y, tiles_x, TILE, TILE) + ch)
+        x = jnp.swapaxes(x, 1, 2)
+        x = x.reshape((tiles_y * TILE, tiles_x * TILE) + ch)
+        return x[:height, :width]
+
+    return assemble(img), assemble(dep), assemble(alpha)

@@ -75,7 +75,12 @@ def train_baseline(
     log_every: int = 50,
     tb_writer=None,
     progress: bool = True,
+    extra_loss_fn=None,
+    aux_data_fn=None,
 ) -> TrainResult:
+    """`extra_loss_fn` / `aux_data_fn(camera) -> pytree` add a per-camera
+    differentiable regularizer to the deform-phase loss (the SAM-variant
+    trainer wires mask-consistency through these, train_baseline_sam.py)."""
     rng = Random(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -105,7 +110,8 @@ def train_baseline(
                                 donate=True)
     deform_step = make_train_step(
         opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, is_6dof=model_cfg.is_6dof,
-        deform_fn=deform_fn, deform_update_fn=field.update, donate=True)
+        deform_fn=deform_fn, deform_update_fn=field.update, donate=True,
+        extra_loss_fn=extra_loss_fn)
     eval_render = make_eval_render(pipe_cfg=pipe_cfg,
                                    is_6dof=model_cfg.is_6dof,
                                    deform_fn=deform_fn)
@@ -134,8 +140,9 @@ def train_baseline(
         if iteration < opt_cfg.warm_up:
             state, _, aux = warm_step(state, None, cam, it, k1, bg)
         else:
+            aux_data = aux_data_fn(cam) if aux_data_fn is not None else None
             state, deform_state, aux = deform_step(state, deform_state, cam,
-                                                   it, k1, bg)
+                                                   it, k1, bg, aux_data)
 
         # cadence (densify/reset) — identical to train_baseline.py:163-175
         if iteration < opt_cfg.densify_until_iter:

@@ -19,6 +19,7 @@ so the same machinery serves the static phase (None), the MLP field, the
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Callable, NamedTuple, Optional
 
@@ -48,18 +49,22 @@ def make_train_step(
     deform_update_fn: Optional[Callable] = None,
     freeze_gaussians: bool = False,
     donate: bool = True,
+    extra_loss_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
-    Returns step(state, deform_state, camera, iteration, key, bg)
+    Returns step(state, deform_state, camera, iteration, key, bg[, aux_data])
       -> (state, deform_state, StepAux).
     Pass deform_fn=None for the static/warm-up phase.
+    `extra_loss_fn(out, (dx, dr, ds), camera, state, aux_data) -> scalar`
+    adds a differentiable regularizer (e.g. SAM mask consistency) to the
+    photometric loss; `aux_data` is its per-camera side input.
     """
     lambda_dssim = opt_cfg.lambda_dssim
     use_deform = deform_fn is not None
 
     def render_loss(g_params, d_params, tap, state, camera, iteration, key,
-                    bg):
+                    bg, aux_data):
         st = state.replace(params=g_params)
         if use_deform:
             dx, dr, ds = deform_fn(d_params,
@@ -81,11 +86,15 @@ def make_train_step(
         ll1 = l1_loss(out.image, camera.image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
             1.0 - ssim(out.image, camera.image))
+        if extra_loss_fn is not None:
+            loss = loss + extra_loss_fn(out, (dx, dr, ds), camera, st,
+                                        aux_data)
         return loss, (ll1, out)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(state: G.GaussianState, deform_state: Any, camera: Camera,
-             iteration: jax.Array, key: jax.Array, bg: jax.Array):
+    def _step(state: G.GaussianState, deform_state: Any, camera: Camera,
+              iteration: jax.Array, key: jax.Array, bg: jax.Array,
+              aux_data: Any = None):
         tap0 = jnp.zeros((state.capacity, 2))
 
         if use_deform:
@@ -93,7 +102,7 @@ def make_train_step(
 
             def f(gp, dp, t):
                 return render_loss(gp, dp, t, state, camera, iteration, key,
-                                   bg)
+                                   bg, aux_data)
 
             (loss, (ll1, out)), (g_grads, d_grads, tap_grad) = \
                 jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(
@@ -101,7 +110,7 @@ def make_train_step(
         else:
             def f(gp, t):
                 return render_loss(gp, None, t, state, camera, iteration,
-                                   key, bg)
+                                   key, bg, aux_data)
 
             (loss, (ll1, out)), (g_grads, tap_grad) = jax.value_and_grad(
                 f, argnums=(0, 1), has_aux=True)(state.params, tap0)
@@ -123,6 +132,15 @@ def make_train_step(
                       tile_overflow=jnp.max(out.counts))
         return state, deform_state, aux
 
+    def step(state, deform_state, camera, iteration, key, bg,
+             aux_data=None):
+        # strip per-camera static metadata (image_name/uid are pytree aux
+        # data): otherwise every distinct camera re-traces and re-compiles
+        # the whole step
+        camera = dataclasses.replace(camera, image_name="", uid=0)
+        return _step(state, deform_state, camera,
+                     jnp.asarray(iteration, jnp.float32), key, bg, aux_data)
+
     return step
 
 
@@ -132,8 +150,8 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
     train.py:355-422)."""
 
     @jax.jit
-    def eval_render(state: G.GaussianState, deform_state, camera: Camera,
-                    bg: jax.Array):
+    def _eval_render(state: G.GaussianState, deform_state, camera: Camera,
+                     bg: jax.Array):
         if deform_fn is not None and deform_state is not None:
             dx, dr, ds = deform_fn(deform_state.params, state.params.xyz,
                                    camera.fid, jnp.asarray(10 ** 9), None)
@@ -149,6 +167,10 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
                       antialias=pipe_cfg.antialias)
+
+    def eval_render(state, deform_state, camera, bg):
+        camera = dataclasses.replace(camera, image_name="", uid=0)
+        return _eval_render(state, deform_state, camera, bg)
 
     return eval_render
 

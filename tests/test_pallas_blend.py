@@ -1,0 +1,93 @@
+"""Pallas blend kernel vs the XLA packed blend — interpret mode on CPU.
+
+The real kernel is validated on TPU hardware (same comparison at larger
+scale); this keeps the kernel's logic under CI wherever the suite runs.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3gs_tpu.data.cameras import Camera
+from d3gs_tpu.models import gaussians as G
+from d3gs_tpu.ops.camera_math import perspective_projection, world_to_view
+from d3gs_tpu.ops.binning import bin_splats_records
+from d3gs_tpu.ops.pallas_blend import blend_records_pallas
+from d3gs_tpu.ops.projection import project_gaussians
+from d3gs_tpu.ops.rasterize import blend_records, pack_records
+from d3gs_tpu.ops.transforms import cov3d_packed
+
+W = H = 64
+N, CAP = 300, 512
+TX = TY = 4
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    pts = (rng.random((N, 3)) * 2.0 - 1.0).astype(np.float32)
+    cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, cols, sh_degree=1, capacity=CAP)
+    state = state.replace(params=state.params._replace(
+        opacity=jnp.asarray(rng.uniform(-1, 3, (CAP, 1)), jnp.float32)))
+
+    V = world_to_view(np.eye(3), np.array([0, 0, 3.0])).T
+    fov = math.radians(60)
+    P = perspective_projection(0.01, 100.0, fov, fov).T
+    cam = Camera(viewmatrix=jnp.asarray(V, jnp.float32),
+                 projmatrix=jnp.asarray(V @ P, jnp.float32),
+                 campos=jnp.asarray(np.linalg.inv(V)[3, :3], jnp.float32),
+                 fid=jnp.asarray(0.0),
+                 image=jnp.zeros((H, W, 3)), width=W, height=H,
+                 fovx=fov, fovy=fov)
+    tan = math.tan(fov / 2)
+    cov = cov3d_packed(state.get_scaling, state.params.rotation)
+    splats = project_gaussians(
+        state.params.xyz, cov, state.get_opacity[:, 0],
+        jnp.asarray(rng.uniform(0, 1, (CAP, 3)), jnp.float32),
+        cam.viewmatrix, cam.projmatrix, tan, tan, W, H, alive=state.alive)
+    rbins = bin_splats_records(splats, tiles_x=TX, tiles_y=TY)
+    records = pack_records(splats)
+    return records, rbins
+
+
+def _ref(records, rbins, bg):
+    return blend_records(records, rbins, bg, tiles_x=TX, tiles_y=TY,
+                         width=W, height=H, tile_capacity=512, tile_chunk=4)
+
+
+def _pal(records, rbins, bg):
+    return blend_records_pallas(records, rbins, bg, tiles_x=TX, tiles_y=TY,
+                                width=W, height=H, interpret=True)
+
+
+def test_forward_matches_packed(scene):
+    records, rbins = scene
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    ref = _ref(records, rbins, bg)
+    pal = _pal(records, rbins, bg)
+    for a, b in zip(ref, pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_gradients_match_packed(scene):
+    records, rbins = scene
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    tgt = jnp.ones((H, W, 3)) * 0.5
+
+    def loss(fn):
+        def f(r, b):
+            img, dep, alp = fn(r, rbins, b)
+            return (jnp.sum((img - tgt) ** 2) + 0.01 * jnp.sum(dep)
+                    + 0.02 * jnp.sum(alp))
+        return f
+
+    gr, gbr = jax.grad(loss(_ref), argnums=(0, 1))(records, bg)
+    gp, gbp = jax.grad(loss(_pal), argnums=(0, 1))(records, bg)
+    scale = np.abs(np.asarray(gr)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gp) / scale,
+                               np.asarray(gr) / scale, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbr), atol=1e-3)

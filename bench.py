@@ -3,11 +3,17 @@ config (D-NeRF 400x400, ~43k Gaussians — the reference README's average
 Gaussian count, BASELINE.md).
 
 Measures the COMPLETE jitted train iteration — deform MLP forward, EWA
-projection, tile binning, blend, L1+DSSIM loss, full backward (params +
-screenspace tap), both Adam updates — and reports Mrays/s (pixels/s) per
-chip. The reference baseline is 28.6 Mrays/s render-only (179 FPS x 160k px
-on its GPU, BASELINE.md); we report fwd+bwd against that render-only bar,
-so vs_baseline understates the true speedup.
+projection, tile binning, pallas blend, L1+DSSIM loss, full backward
+(params + screenspace tap), both Adam updates — and reports Mrays/s
+(pixels/s) per chip. The reference baseline is 28.6 Mrays/s RENDER-ONLY
+(179 FPS x 160k px on its GPU, BASELINE.md); we report fwd+bwd+opt against
+that render-only bar, so vs_baseline understates the true speedup.
+
+Timing methodology: this platform's host tunnel does not synchronize in
+`block_until_ready`, so per-dispatch wall timing measures host overhead.
+Steps are chained on-device inside one jitted `lax.fori_loop` (the carry
+feeds each next step, so nothing can be elided) and ONE scalar is fetched;
+two loop lengths are differenced to cancel the fixed roundtrip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,7 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from d3gs_tpu.config import ModelParams, OptimizationParams, PipelineParams
+    from d3gs_tpu.config import OptimizationParams, PipelineParams
     from d3gs_tpu.models import gaussians as G
     from d3gs_tpu.models.deform import DeformFieldSpec, create_deform_field
     from d3gs_tpu.data.cameras import Camera
@@ -35,7 +41,6 @@ def main():
     WIDTH = HEIGHT = 400
     N = 43_132                      # reference average Gaussian count
     CAP = 44_032                    # padded to 1024 multiple
-    ITERS = 10
 
     rng = np.random.default_rng(0)
     pts = (rng.random((N, 3)) * 2.6 - 1.3).astype(np.float32)
@@ -63,7 +68,8 @@ def main():
     dstate, field = create_deform_field(spec, jax.random.PRNGKey(0))
 
     opt_cfg = OptimizationParams()
-    pipe_cfg = PipelineParams(tile_capacity=1024, tile_chunk=25)
+    pipe_cfg = PipelineParams(tile_capacity=1024, tile_chunk=25,
+                              dup_capacity=393_216)
 
     def deform_fn(d_params, xyz, fid, iteration, key):
         return field.step(d_params, xyz, fid)
@@ -75,18 +81,25 @@ def main():
     bg = jnp.zeros(3)
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
-    for i in range(3):
-        state, dstate, aux = step(state, dstate, cam,
-                                  jnp.asarray(3001.0 + i), key, bg)
-    jax.block_until_ready(aux.loss)
+    def run(n_iters):
+        f = jax.jit(lambda c, n=n_iters: jax.lax.fori_loop(
+            0, n, lambda i, c: body(c), c))
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, dstate, aux = step(state, dstate, cam,
-                                  jnp.asarray(3010.0 + i), key, bg)
-    jax.block_until_ready(aux.loss)
-    dt = (time.perf_counter() - t0) / ITERS
+        def body(carry):
+            st, dst, it = carry
+            st2, dst2, aux = step(st, dst, cam, 3001.0 + it, key, bg)
+            return (st2, dst2, it + 1.0)
+
+        init = (state, dstate, jnp.asarray(0.0))
+        out = f(init)                       # compile + run
+        float(jnp.sum(out[0].params.xyz))   # true sync
+        t0 = time.perf_counter()
+        out = f(init)
+        float(jnp.sum(out[0].params.xyz))
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = run(3), run(23)
+    dt = (t_hi - t_lo) / 20.0
 
     mrays = WIDTH * HEIGHT / dt / 1e6
     baseline = 28.6  # render-only Mrays/s of the reference GPU (BASELINE.md)

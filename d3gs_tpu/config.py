@@ -65,6 +65,9 @@ class PipelineParams:
     binning: str = "auto"           # "auto" (pallas on TPU, packed off-TPU)
                                     # | "pallas" | "packed" | "sort" | "scan"
     dup_capacity: int = 0           # sort-path duplicate budget (0 = 16N)
+    tight_cull: bool = False        # exact ellipse-tile cull (opt-in: pays a
+                                # wider expand gather; the alpha-aware
+                                # radius in projection.py is always on)
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single

@@ -49,6 +49,8 @@ class DeformFieldSpec:
     n_substeps: int = 4             # RK4 substeps per grid segment
     rtol: float = 1e-3              # kept for adaptive-solver parity runs
     atol: float = 1e-4
+    compute_dtype: str = "float32"   # MLP activation dtype ("float32" |
+                                     # "bfloat16"); params/outputs stay f32
 
 
 @struct.dataclass
@@ -69,14 +71,15 @@ class DeformField(NamedTuple):
 
 
 def _build_network(spec: DeformFieldSpec):
+    dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
     if spec.kind == "baseline":
         return DeformMLP(D=spec.D, W=spec.W, multires=spec.multires,
                          is_blender=spec.is_blender, is_6dof=spec.is_6dof,
-                         full_heads=True)
+                         full_heads=True, dtype=dtype)
     if spec.kind == "warp":
         return DeformMLP(D=spec.D, W=spec.W, multires=spec.multires,
                          is_blender=spec.is_blender, is_6dof=spec.is_6dof,
-                         full_heads=False)
+                         full_heads=False, dtype=dtype)
     if spec.kind == "ode":
         return DeformNetworkODE(D=spec.D, W=spec.W, multires=spec.multires,
                                 is_blender=spec.is_blender,

@@ -33,8 +33,13 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch nn.Linear default initialization."""
+    """nn.Dense with torch nn.Linear default initialization.
+
+    `dtype` is the COMPUTE dtype (params stay float32): bfloat16 halves the
+    activation HBM traffic of the big per-Gaussian MLPs — the deform net is
+    bandwidth-bound at N~44k — while Adam still sees float32 params/grads."""
     features: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -42,6 +47,7 @@ class TorchLinear(nn.Module):
         bound = 1.0 / np.sqrt(fan_in)
         return nn.Dense(
             self.features,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=lambda k, s, d=jnp.float32: jax.random.uniform(
                 k, s, d, -bound, bound),
@@ -72,43 +78,47 @@ class DeformMLP(nn.Module):
     is_blender: bool = False
     is_6dof: bool = False
     full_heads: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array):
+        lin = lambda f: TorchLinear(f, dtype=self.dtype)  # noqa: E731
+        f32 = lambda a: a.astype(jnp.float32)             # noqa: E731
         t_multires = 6 if self.is_blender else 10
         t = jnp.broadcast_to(jnp.atleast_1d(t).reshape(-1, 1)
                              if t.ndim <= 1 else t, (x.shape[0], 1))
         t_emb = positional_encoding(t, t_multires)
         if self.is_blender:
             # timenet: PE(t) -> 256 -> ReLU -> 30 (time_utils.py:74-79)
-            t_emb = TorchLinear(256)(t_emb)
+            t_emb = lin(256)(t_emb)
             t_emb = nn.relu(t_emb)
-            t_emb = TorchLinear(30)(t_emb)
+            t_emb = lin(30)(t_emb)
         x_emb = positional_encoding(x, self.multires)
-        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        inp = jnp.concatenate(
+            [x_emb.astype(self.dtype), t_emb.astype(self.dtype)], axis=-1)
 
         skips = (self.D // 2,)
         h = inp
         for i in range(self.D):
-            h = TorchLinear(self.W)(h)
+            h = lin(self.W)(h)
             h = nn.relu(h)
             if i in skips:
                 h = jnp.concatenate([inp, h], axis=-1)
 
         if self.is_6dof:
-            w = TorchLinear(3)(h)
-            v = TorchLinear(3)(h)
+            w = f32(lin(3)(h))
+            v = f32(lin(3)(h))
             theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
             w = w / (theta + 1e-5)
             v = v / (theta + 1e-5)
             screw = jnp.concatenate([w, v], axis=-1)
             d_xyz = exp_se3(screw, theta[..., 0])     # (N, 4, 4)
         else:
-            d_xyz = TorchLinear(3)(h)
+            d_xyz = f32(lin(3)(h))
 
         if self.full_heads:
-            d_rot = TorchLinear(4)(h)
-            d_scale = TorchLinear(3)(h)
+            d_rot = f32(lin(4)(h))
+            d_scale = f32(lin(3)(h))
         else:
             d_rot, d_scale = 0.0, 0.0
         return d_xyz, d_rot, d_scale

@@ -53,6 +53,7 @@ def render(
     antialias: bool = False,
     binning: str = "packed",
     dup_capacity: int = 0,
+    tight_cull: bool = False,
 ) -> RenderOutput:
     p = gaussians.params
 
@@ -108,7 +109,8 @@ def render(
         from ..ops.pallas_blend import blend_records_pallas
         rbins = bin_splats_records(
             jax.lax.stop_gradient(splats),
-            tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity)
+            tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity,
+            tight_cull=tight_cull)
         records = pack_records(splats)
         image, depth, alpha = blend_records_pallas(
             records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,

@@ -157,6 +157,9 @@ class RecordBins(NamedTuple):
     starts: jax.Array        # (T+1,) segment start of each tile
     counts: jax.Array        # (T,)
     order: jax.Array         # (N,) depth order (rank -> gaussian id)
+    perm: jax.Array          # (M,) depth-dup index of each sorted duplicate
+    dup_offsets: jax.Array   # (N,) depth-dup segment start per rank
+    dup_counts: jax.Array    # (N,) pre-cull covered-tile count per rank
 
 
 def _tile_max_power(mux, muy, ca, cb, cc, tx, ty):
@@ -201,7 +204,7 @@ def bin_splats_records(
     tiles_y: int,
     dup_capacity: int = 0,
     tile_y0: jax.Array | int = 0,
-    tight_cull: bool = True,
+    tight_cull: bool = False,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
     blend_records): identical expansion/sort as bin_splats_sorted, but the
@@ -270,14 +273,20 @@ def bin_splats_records(
 
     big = num_tiles << shift
     key = jnp.where(valid, (local_tile << shift) | src, big)
-    key_sorted = jnp.sort(key)
+    # co-sort the depth-dup index: perm maps sorted position -> position in
+    # the depth-ordered duplicate stream (whose per-rank segments are
+    # CONTIGUOUS at [dup_offsets, dup_offsets + dup_counts)) — the blend
+    # backward reduces per-duplicate grads through this permutation with a
+    # gather + cumsum instead of an M-row scatter-add (pallas_blend.py)
+    key_sorted, perm = jax.lax.sort((key, m), num_keys=1)
     rank_sorted = key_sorted & ((1 << shift) - 1)
     starts = jnp.searchsorted(
         key_sorted, jnp.arange(num_tiles + 1) << shift,
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
     return RecordBins(rank_sorted=rank_sorted, starts=starts, counts=counts,
-                      order=order)
+                      order=order, perm=perm, dup_offsets=offsets,
+                      dup_counts=cnt)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",

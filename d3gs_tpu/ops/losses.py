@@ -53,19 +53,32 @@ def _gaussian_window(size: int, sigma: float):
     return g / g.sum()
 
 
-def _blur(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Separable depthwise blur of (H, W, C) with SAME padding."""
-    size = window.shape[0]
-    c = img.shape[-1]
-    x = img[None]  # NHWC
-    kh = jnp.tile(window.reshape(size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(window.reshape(1, size, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME", dimension_numbers=dn,
-                                     feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME", dimension_numbers=dn,
-                                     feature_group_count=c)
-    return x[0]
+@functools.lru_cache(maxsize=8)
+def _band_matrix(dim: int, size: int, sigma: float):
+    """(dim, dim) banded Gaussian blur matrix with SAME zero padding —
+    separable blur as two MXU matmuls instead of grouped convolutions
+    (3-channel depthwise convs waste the TPU conv unit; a (H,H)@(H,W·K)
+    matmul runs at MXU speed)."""
+    import numpy as np
+    g = _gaussian_window(size, sigma)
+    b = np.zeros((dim, dim), np.float32)
+    half = size // 2
+    for o in range(-half, half + 1):
+        v = g[o + half]
+        d = np.eye(dim, k=o, dtype=np.float32) * v
+        b += d
+    return b
+
+
+def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
+    """Separable blur of (H, W, C) with SAME padding via banded matmuls."""
+    h, w = img.shape[0], img.shape[1]
+    bh = jnp.asarray(_band_matrix(h, size, sigma))
+    bw = jnp.asarray(_band_matrix(w, size, sigma))
+    x = jnp.einsum("Hh,hwc->Hwc", bh, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("hwc,wW->hWc", x, bw,
+                      preferred_element_type=jnp.float32)
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
@@ -74,14 +87,18 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
 
     Same constants and window as the reference (utils/loss_utils.py:42-73):
     C1 = 0.01^2, C2 = 0.03^2, uniform average over all pixels/channels.
+    All five blurred maps are computed in ONE pair of banded matmuls by
+    stacking along channels.
     """
-    window = _gaussian_window(window_size, sigma)
-    mu1 = _blur(img1, window)
-    mu2 = _blur(img2, window)
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    blurred = _blur(stack, window_size, sigma)
+    c = img1.shape[-1]
+    mu1, mu2 = blurred[..., 0:c], blurred[..., c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
-    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[..., 4 * c:5 * c] - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

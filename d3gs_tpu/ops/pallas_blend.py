@@ -112,12 +112,8 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     def _():
         dma(0, 0).start()
 
-    def cond(c):
-        b, tvec, img, dep, tfin = c
-        return (b < nb) & (jnp.max(tvec) >= _T_EPS)
-
     def body(c):
-        b, tvec, img, dep, tfin = c
+        b, tvec, ltv, img, dep, tfin = c
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nb)
@@ -144,12 +140,20 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         tfin = jnp.minimum(tfin, jnp.min(jnp.where(inc, ti, 1.0), axis=1,
                                          keepdims=True))
         tvec = tvec * prod[:, KB - 1:KB]
-        return (b + 1, tvec, img, dep, tfin)
+        # log-space transmittance for the backward anchor: the plain product
+        # underflows f32 after ~19 near-opaque records, which would inflate
+        # the backward's log-anchored weight reconstruction by e^(drift)
+        ltv = ltv + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
+        return (b + 1, tvec, ltv, img, dep, tfin)
+
+    def cond(c):
+        return (c[0] < nb) & (jnp.max(c[1]) >= _T_EPS)
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
             jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 1), jnp.float32),
             jnp.ones((P, 1), jnp.float32))
-    b_f, tvec, img, dep, tfin = jax.lax.while_loop(cond, body, init)
+    b_f, tvec, ltv, img, dep, tfin = jax.lax.while_loop(cond, body, init)
 
     # drain the prefetched-but-unconsumed DMA if we early-terminated
     @pl.when(b_f < nb)
@@ -159,11 +163,23 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     out_ref[0, :, 0:3] = img
     out_ref[0, :, 3:4] = dep
     out_ref[0, :, 4:5] = tfin
-    out_ref[0, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
+    # backward-pass anchors: EXACT log T after the last processed block
+    # (underflow-free), and the number of blocks actually processed
+    out_ref[0, :, 5:6] = ltv
+    out_ref[0, :, 6:7] = jnp.full((P, 1), 1.0, jnp.float32) * \
+        b_f.astype(jnp.float32)
+    out_ref[0, :, 7:8] = jnp.zeros((P, 1), jnp.float32)
 
 
 def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
                 gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
+    """Single REVERSE sweep per tile (the CUDA backward's back-to-front
+    replay, renderCUDA backward): walk blocks last→first carrying
+    log-transmittance L = log T(after block) and the suffix sum
+    S = Σ_{m>k} G_w_m w_m. Per-record transmittance is recovered as
+    t_before_k = exp(L − Σ_{j≥k} log(1−α_j)) — log space, so deep
+    saturated tiles underflow to exactly-zero weights instead of inf/NaN
+    from repeated division."""
     t = pl.program_id(0)
     s0 = starts_ref[t]
     s1 = starts_ref[t + 1]
@@ -183,6 +199,8 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
     g_dep = g_ref[0, :, 3:4]                           # (P, 1)
     g_tf = g_ref[0, :, 4:5]
     t_final = g_ref[0, :, 5:6]
+    log_tend = g_ref[0, :, 6:7]                        # log T(end), (P, 1)
+    b_eff = g_ref[0, 0, 7].astype(jnp.int32)           # blocks fwd processed
 
     def dma_r(slot, b):
         return pltpu.make_async_copy(slab_ref.at[b0 + b], rbuf.at[slot],
@@ -192,73 +210,36 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
         return pltpu.make_async_copy(wbuf.at[slot], gmain_ref.at[b0 + b],
                                      wsem.at[slot])
 
-    @pl.when(nb > 0)
-    def _():
-        dma_r(0, 0).start()
-
-    def replay(b, tvec, blk):
-        """Recompute per-block fwd quantities from the carried tvec."""
-        kg = (b0 + b) * KB + kcol
-        alpha, clamped, power, raw = _block_alpha(blk, px, py, kg, s0, s1)
-        prod, excl = _scan_products(1.0 - alpha, kcol)
-        tb = tvec * excl
-        ti = tvec * prod
-        inc = ti >= _T_EPS
-        w = jnp.where(inc, tb * alpha, 0.0)
-        return alpha, clamped, w, tb, inc, prod
-
-    # ---- pass A: total A = sum_k G_w_k w_k, and the saturation bound ----
-    def condA(c):
-        b, tvec, atot = c
-        return (b < nb) & (jnp.max(tvec) >= _T_EPS)
-
-    def bodyA(c):
-        b, tvec, atot = c
-        slot = jax.lax.rem(b, 2)
-
-        @pl.when(b + 1 < nb)
-        def _():
-            dma_r(1 - slot, b + 1).start()
-
-        dma_r(slot, b).wait()
-        blk = rbuf[slot]
-        alpha, _, w, _, _, prod = replay(b, tvec, blk)
-        gw = jax.lax.dot_general(g_img, blk[5:8], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) \
-            + g_dep * blk[9:10]                        # (P, KB)
-        atot = atot + jnp.sum(gw * w, axis=1, keepdims=True)
-        return (b + 1, tvec * prod[:, KB - 1:KB], atot)
-
-    b_eff, _, atot = jax.lax.while_loop(
-        condA, bodyA,
-        (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
-         jnp.zeros((P, 1), jnp.float32)))
-
-    @pl.when(b_eff < nb)
-    def _():
-        dma_r(jax.lax.rem(b_eff, 2), b_eff).wait()
-
-    # ---- pass B: per-record gradients, suffix = A - inclusive prefix ----
     edge_ref[0, 0] = jnp.zeros((_REC, KB), jnp.float32)
     edge_ref[0, 1] = jnp.zeros((_REC, KB), jnp.float32)
 
     @pl.when(b_eff > 0)
     def _():
-        dma_r(0, 0).start()
+        dma_r(jax.lax.rem(b_eff - 1, 2), b_eff - 1).start()
 
     gtt = g_tf * t_final                               # (P, 1)
 
-    def grad_block(b, tvec, pfx, blk):
-        alpha, clamped, w, tb, inc, prod = replay(b, tvec, blk)
+    def grad_block(b, lcarry, sfx, blk):
+        kg = (b0 + b) * KB + kcol
+        alpha, clamped, power, raw = _block_alpha(blk, px, py, kg, s0, s1)
+        om = 1.0 - alpha
+        lo = jnp.log1p(-alpha)                         # (P, KB), <= 0
+        s_lo = jnp.sum(lo, axis=1, keepdims=True)      # (P, 1)
+        _, exc = _scan_cumsum(lo, kcol)
+        # log T before record k = log T(block end) - sum_{j>=k} lo_j
+        tb = jnp.exp(lcarry - s_lo + exc)
+        ti = tb * om
+        inc = ti >= _T_EPS
+        w = jnp.where(inc, tb * alpha, 0.0)
         rgb, dpt = blk[5:8], blk[9:10]
         gw = jax.lax.dot_general(g_img, rgb, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) \
             + g_dep * dpt                              # (P, KB)
         gww = gw * w
-        pin, _ = _scan_cumsum(gww, kcol)
-        pin = pin + pfx                                # inclusive prefix
-        suffix = atot - pin
-        inv_om = 1.0 / (1.0 - alpha)
+        s_g = jnp.sum(gww, axis=1, keepdims=True)
+        pin, _ = _scan_cumsum(gww, kcol)               # inclusive prefix
+        suffix = sfx + (s_g - pin)                     # Σ over m > k
+        inv_om = 1.0 / om
         incf = inc.astype(jnp.float32)
         g_alpha = gw * tb * incf - (suffix + gtt * incf) * inv_om
         g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
@@ -288,25 +269,30 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
         g_blk = jnp.concatenate(
             [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
              jnp.zeros((_REC - 10, KB), jnp.float32)], axis=0)
-        pfx = pfx + jnp.sum(gww, axis=1, keepdims=True)
-        return g_blk, tvec * prod[:, KB - 1:KB], pfx
+        return g_blk, lcarry - s_lo, sfx + s_g
 
-    def bodyB(b, c):
-        tvec, pfx, wcnt = c
+    # reverse sweep: b = nb-1 .. 0; blocks >= b_eff (never processed by the
+    # saturating fwd) get zero gradients and no slab read
+    def bodyB(i, c):
+        lcarry, sfx, wcnt = c
+        b = nb - 1 - i
         slot = jax.lax.rem(b, 2)
 
-        @pl.when((b + 1 < b_eff))
+        @pl.when((b < b_eff) & (b >= 1))
         def _():
-            dma_r(1 - slot, b + 1).start()
+            # prefetch the next (lower) block while computing this one
+            # (block b_eff-1 itself was warmed before the loop)
+            dma_r(1 - slot, b - 1).start()
 
-        def compute(tvec, pfx):
+        def compute(lcarry, sfx):
             dma_r(slot, b).wait()
-            return grad_block(b, tvec, pfx, rbuf[slot])
+            return grad_block(b, lcarry, sfx, rbuf[slot])
 
-        def zero(tvec, pfx):
-            return jnp.zeros((_REC, KB), jnp.float32), tvec, pfx
+        def zero(lcarry, sfx):
+            return jnp.zeros((_REC, KB), jnp.float32), lcarry, sfx
 
-        g_blk, tvec, pfx = jax.lax.cond(b < b_eff, compute, zero, tvec, pfx)
+        g_blk, lcarry, sfx = jax.lax.cond(b < b_eff, compute, zero,
+                                          lcarry, sfx)
 
         is_first = b == 0
         is_last = b == nb - 1
@@ -327,28 +313,26 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
 
             @pl.when(wcnt >= 2)
             def _():
-                # interior write k targets block k+1; wait for slot reuse
-                dma_w(wslot, wcnt - 1).wait()
+                # interior write k targets block nb-2-k; wait slot reuse
+                dma_w(wslot, nb - wcnt).wait()
 
             wbuf[wslot] = g_blk
             dma_w(wslot, b).start()
 
-        return (tvec, pfx, wcnt + interior.astype(jnp.int32))
+        return (lcarry, sfx, wcnt + interior.astype(jnp.int32))
 
-    tvec, pfx, wcnt = jax.lax.fori_loop(
+    _, _, wcnt = jax.lax.fori_loop(
         0, nb, bodyB,
-        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
-         jnp.int32(0)))
+        (log_tend, jnp.zeros((P, 1), jnp.float32), jnp.int32(0)))
 
-    # drain outstanding interior writes (blocks wcnt-1 and wcnt map back to
-    # interior writes wcnt-2, wcnt-1 which target blocks wcnt-1, wcnt)
+    # drain outstanding interior writes (write k targeted block nb-2-k)
     @pl.when(wcnt >= 2)
     def _():
-        dma_w(jax.lax.rem(wcnt, 2), wcnt - 1).wait()
+        dma_w(jax.lax.rem(wcnt, 2), nb - wcnt).wait()
 
     @pl.when(wcnt >= 1)
     def _():
-        dma_w(jax.lax.rem(wcnt - 1, 2), wcnt).wait()
+        dma_w(jax.lax.rem(wcnt - 1, 2), nb - 1 - wcnt).wait()
 
 
 def _scan_cumsum(x, kcol):
@@ -411,27 +395,31 @@ def _make_blocks(rec_pad, rank_pad):
     return slab.reshape(mb, KB, _REC).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _core(rec_pad, rank_pad, starts, ox, oy, num_tiles, interpret):
-    out, _ = _core_fwd(rec_pad, rank_pad, starts, ox, oy, num_tiles,
-                       interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _core(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts, ox, oy,
+          num_tiles, interpret):
+    out, _ = _core_fwd(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts,
+                       ox, oy, num_tiles, interpret)
     return out
 
 
-def _core_fwd(rec_pad, rank_pad, starts, ox, oy, num_tiles, interpret):
+def _core_fwd(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts, ox, oy,
+              num_tiles, interpret):
     slab_blocks = _make_blocks(rec_pad, rank_pad)
     out = _fwd_pallas(slab_blocks, starts, ox, oy, num_tiles=num_tiles,
                       interpret=interpret)
-    return out, (slab_blocks, rank_pad, starts, ox, oy, out,
+    return out, (slab_blocks, perm_pad, dup_lo, dup_hi, starts, ox, oy, out,
                  rec_pad.shape[0])
 
 
 def _core_bwd(num_tiles, interpret, res, g):
-    slab_blocks, rank_pad, starts, ox, oy, out, n1 = res
+    slab_blocks, perm_pad, dup_lo, dup_hi, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
     t_final = out[:, :, 4:5]
+    log_tend = out[:, :, 5:6]      # exact log-space anchor from the fwd
+    nb_eff = out[:, :, 6:7]
     gbuf = jnp.concatenate(
-        [g[:, :, 0:5], t_final, jnp.zeros_like(g[:, :, 0:2])], axis=-1)
+        [g[:, :, 0:5], t_final, log_tend, nb_eff], axis=-1)
     g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, gbuf,
                                  num_tiles=num_tiles, interpret=interpret)
 
@@ -460,17 +448,26 @@ def _core_bwd(num_tiles, interpret, res, g):
     e_rows = jnp.concatenate([g_edge[:, 0], g_edge[:, 1]], axis=0)
     g_all = g_all.at[e_blk].add(e_rows)
 
-    # reduce duplicates -> per-record grads. Measured on v5e at M=385k:
-    # plain row scatter-add 6.8 ms, sort17+cumsum+segment-diff ~9 ms end to
-    # end (the 17-operand sort itself is 2.7 ms but the per-column cumsums
-    # and searchsorted eat the win), segment_sum-over-sorted 3.4 ms but
-    # needs the sort first. Scatter-add is the best simple option; the real
-    # lever is shrinking M (tight culling in binning.py).
+    # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
+    # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): permute
+    # the grad rows into DEPTH-DUP order (where each rank's duplicates are
+    # contiguous) via gather through the inverted binning permutation, then
+    # one cumsum + segment-boundary difference. Costs one small sort + one
+    # M-row gather + one (M,16) cumsum ≈ 2 ms.
     g_flat = g_all.transpose(0, 2, 1).reshape(mb * KB, _REC)
-    d_rec = jnp.zeros((n1, _REC), jnp.float32).at[rank_pad].add(g_flat)
+    mpad = mb * KB
+    iota = jnp.arange(mpad, dtype=jnp.int32)
+    _, invperm = jax.lax.sort((perm_pad, iota), num_keys=1)
+    g_dd = g_flat[invperm]                                    # depth-dup order
+    cs = jnp.cumsum(g_dd, axis=0)
+    csz = jnp.concatenate([jnp.zeros((1, _REC), jnp.float32), cs], axis=0)
+    d_rec = csz[jnp.minimum(dup_hi, mpad)] - csz[jnp.minimum(dup_lo, mpad)]
+    d_rec = jnp.concatenate(
+        [d_rec, jnp.zeros((1, _REC), jnp.float32)], axis=0)   # pad row N
 
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (d_rec, zero_i(rank_pad), zero_i(starts), zero_i(ox), zero_i(oy))
+    return (d_rec, zero_i(perm_pad), zero_i(perm_pad), zero_i(dup_lo),
+            zero_i(dup_hi), zero_i(starts), zero_i(ox), zero_i(oy))
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -501,16 +498,24 @@ def blend_records_pallas(
         [records[bins.order],
          jnp.zeros((1, records.shape[1]), records.dtype)], axis=0)
     total = bins.starts[num_tiles]
+    marange = jnp.arange(mpad, dtype=jnp.int32)
     rank_pad = jnp.where(
-        jnp.arange(mpad, dtype=jnp.int32) < total,
+        marange < total,
         jnp.pad(bins.rank_sorted.astype(jnp.int32), (0, mpad - m)), n)
+    # padding positions keep identity perm values beyond m so the inverse
+    # permutation in the backward stays a true permutation of [0, mpad)
+    perm_pad = jnp.where(
+        marange < m, jnp.pad(bins.perm.astype(jnp.int32), (0, mpad - m)),
+        marange)
+    dup_lo = bins.dup_offsets.astype(jnp.int32)
+    dup_hi = dup_lo + bins.dup_counts.astype(jnp.int32)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     ox = (tids % tiles_x) * TILE
     oy = (tids // tiles_x) * TILE
 
-    out = _core(rec_pad, rank_pad, bins.starts.astype(jnp.int32), ox, oy,
-                num_tiles, interpret)
+    out = _core(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi,
+                bins.starts.astype(jnp.int32), ox, oy, num_tiles, interpret)
     img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
     dep = out[:, :, 3]
     alpha = 1.0 - out[:, :, 4]

@@ -117,10 +117,17 @@ def project_gaussians(
         comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) * inv_det)
         opacities = opacities * comp
 
-    # radius from eigenvalues of the dilated cov2d
+    # radius from eigenvalues of the dilated cov2d. The reference uses a
+    # fixed 3σ; we additionally clamp to the alpha-aware radius
+    # σ·sqrt(2·ln(255·opa)) beyond which alpha < 1/255 at EVERY pixel (the
+    # blend's alpha-min test skips such splats without consuming
+    # transmittance), so the shrink is output-exact and cuts the duplicate
+    # count at the source — especially after opacity resets.
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    sigma_mul = jnp.minimum(3.0, jnp.sqrt(
+        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0)))
+    radius = jnp.ceil(jnp.maximum(sigma_mul, 0.0) * jnp.sqrt(lam1))
 
     mean2d = jnp.stack([
         ndc_to_pixel(p_proj[:, 0], width),

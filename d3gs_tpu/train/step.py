@@ -82,6 +82,7 @@ def make_train_step(
             bin_chunk=pipe_cfg.bin_chunk,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
+            tight_cull=pipe_cfg.tight_cull,
             antialias=pipe_cfg.antialias)
         ll1 = l1_loss(out.image, camera.image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
@@ -166,6 +167,7 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       bin_chunk=pipe_cfg.bin_chunk,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
+                      tight_cull=pipe_cfg.tight_cull,
                       antialias=pipe_cfg.antialias)
 
     def eval_render(state, deform_state, camera, bg):

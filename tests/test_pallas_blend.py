@@ -91,3 +91,50 @@ def test_gradients_match_packed(scene):
     np.testing.assert_allclose(np.asarray(gp) / scale,
                                np.asarray(gr) / scale, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbr), atol=1e-3)
+
+
+def test_saturated_tile_gradients_finite_and_match():
+    """Regression: >19 near-opaque records in one tile drive the f32
+    transmittance product below the denormal range. The backward's
+    log-space anchor must come from the forward's log1p accumulation —
+    a clamped log(T_end) inflates every contributing weight by e^(drift)
+    (caught as training divergence, not by small-scene parity)."""
+    n, cap = 64, 128
+    key = jax.random.PRNGKey(0)
+    # all gaussians centered in tile (0,0), nearly opaque, stacked in depth
+    xyz = jnp.stack([jnp.zeros(n), jnp.zeros(n),
+                     jnp.linspace(2.0, 3.0, n)], axis=1)
+    state = G.create_from_pcd(np.asarray(xyz), np.full((n, 3), 0.5),
+                              sh_degree=0, capacity=cap)
+    state = state.replace(params=state.params._replace(
+        opacity=jnp.full((cap, 1), 8.0),          # sigmoid(8) ~ 0.9997
+        scaling=jnp.full((cap, 3), -3.0)))
+
+    V = world_to_view(np.eye(3), np.array([0, 0, 4.0])).T
+    fov = math.radians(60)
+    Pm = perspective_projection(0.01, 100.0, fov, fov).T
+    cam = Camera(viewmatrix=jnp.asarray(V, jnp.float32),
+                 projmatrix=jnp.asarray(V @ Pm, jnp.float32),
+                 campos=jnp.asarray(np.linalg.inv(V)[3, :3], jnp.float32),
+                 fid=jnp.asarray(0.0), image=jnp.zeros((H, W, 3)),
+                 width=W, height=H, fovx=fov, fovy=fov)
+    tan = math.tan(fov / 2)
+    cov = cov3d_packed(state.get_scaling, state.params.rotation)
+    splats = project_gaussians(
+        state.params.xyz, cov, state.get_opacity[:, 0],
+        jnp.full((cap, 3), 0.7), cam.viewmatrix, cam.projmatrix,
+        tan, tan, W, H, alive=state.alive)
+    rbins = bin_splats_records(splats, tiles_x=TX, tiles_y=TY)
+    assert int(rbins.counts.max()) >= 40, "fixture must saturate a tile"
+    records = pack_records(splats)
+    bg = jnp.zeros(3)
+
+    def loss(fn):
+        return lambda r: jnp.sum(fn(r, rbins, bg)[0] ** 2)
+
+    gr = jax.grad(loss(_ref))(records)
+    gp = jax.grad(loss(_pal))(records)
+    assert np.isfinite(np.asarray(gp)).all()
+    scale = np.abs(np.asarray(gr)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gp) / scale,
+                               np.asarray(gr) / scale, atol=5e-4)

@@ -35,6 +35,18 @@ def _read_images(renders_dir: str, gt_dir: str):
 
 
 def _try_lpips():
+    # 1st choice: the pure-JAX LPIPS (render_eval/lpips_jax.py) with v0.1
+    # VGG weights from an npz (LPIPS_WEIGHTS env or ./lpips_vgg.npz)
+    try:
+        import jax
+        from . import lpips_jax
+        params = lpips_jax.load_params()
+        if params is not None:
+            f_jit = jax.jit(lambda a, b: lpips_jax.lpips(params, a, b))
+            return lambda a, b: float(f_jit(jnp.asarray(a), jnp.asarray(b)))
+    except Exception:
+        pass
+    # fallback: the pip lpips package (what reference metrics.py:18-19 uses)
     try:
         import lpips  # noqa
         import torch

@@ -486,6 +486,7 @@ def blend_records_pallas(
     width: int,
     height: int,
     interpret: bool = False,
+    tile_y0: jax.Array | int = 0,
 ):
     """Drop-in replacement for rasterize.blend_records with no tile-capacity
     cap (full per-tile lists are blended, matching the CUDA semantics)."""
@@ -510,9 +511,11 @@ def blend_records_pallas(
     dup_lo = bins.dup_offsets.astype(jnp.int32)
     dup_hi = dup_lo + bins.dup_counts.astype(jnp.int32)
 
+    # tile_y0 shifts pixel origins for tile-row-sharded strips (the record
+    # pixel coordinates are global; parallel/sharded.py passes axis_index)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     ox = (tids % tiles_x) * TILE
-    oy = (tids // tiles_x) * TILE
+    oy = (tids // tiles_x + jnp.asarray(tile_y0, jnp.int32)) * TILE
 
     out = _core(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi,
                 bins.starts.astype(jnp.int32), ox, oy, num_tiles, interpret)

@@ -87,24 +87,28 @@ def project_gaussians(
     j12 = -focal_y * ty / (safe_tz * safe_tz)
 
     # W: rotation part of world→view, row-vector convention means the 3x3
-    # upper-left of viewmatrix is R^T as stored; build T = J @ W^T acting on
-    # world-frame covariance:  cov2d = T Σ Tᵀ  with T (N, 2, 3).
+    # upper-left of viewmatrix is R^T as stored; T = J @ W^T acts on the
+    # world-frame covariance: cov2d = T Σ Tᵀ. Expanded as scalar channels
+    # (J is [[j00,0,j02],[0,j11,j12]], W^T is a per-camera constant): the
+    # batched (N,2,3)@(N,3,3) form lowers to padded TPU convolutions that
+    # cost ~ms at N=44k; the channel form is one fused elementwise pass.
     Wr = viewmatrix[:3, :3].T  # (3, 3): world→view linear map, column conv.
-    J = jnp.stack([
-        jnp.stack([j00, jnp.zeros_like(j00), j02], axis=-1),
-        jnp.stack([jnp.zeros_like(j11), j11, j12], axis=-1),
-    ], axis=-2)  # (N, 2, 3)
-    T = J @ Wr  # (N, 2, 3)
+    t00 = j00 * Wr[0, 0] + j02 * Wr[2, 0]
+    t01 = j00 * Wr[0, 1] + j02 * Wr[2, 1]
+    t02 = j00 * Wr[0, 2] + j02 * Wr[2, 2]
+    t10 = j11 * Wr[1, 0] + j12 * Wr[2, 0]
+    t11 = j11 * Wr[1, 1] + j12 * Wr[2, 1]
+    t12 = j11 * Wr[1, 2] + j12 * Wr[2, 2]
 
     xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
-    Sigma = jnp.stack([
-        jnp.stack([xx, xy, xz], axis=-1),
-        jnp.stack([xy, yy, yz], axis=-1),
-        jnp.stack([xz, yz, zz], axis=-1),
-    ], axis=-2)  # (N, 3, 3)
-    cov2d = T @ Sigma @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-
-    a_raw, b_raw, c_raw = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    a_raw = (t00 * t00 * xx + t01 * t01 * yy + t02 * t02 * zz
+             + 2.0 * (t00 * t01 * xy + t00 * t02 * xz + t01 * t02 * yz))
+    b_raw = (t00 * t10 * xx + t01 * t11 * yy + t02 * t12 * zz
+             + (t00 * t11 + t01 * t10) * xy
+             + (t00 * t12 + t02 * t10) * xz
+             + (t01 * t12 + t02 * t11) * yz)
+    c_raw = (t10 * t10 * xx + t11 * t11 * yy + t12 * t12 * zz
+             + 2.0 * (t10 * t11 * xy + t10 * t12 * xz + t11 * t12 * yz))
     det_raw = a_raw * c_raw - b_raw * b_raw
     a, c = a_raw + 0.3, c_raw + 0.3
     b = b_raw

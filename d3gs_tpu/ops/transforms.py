@@ -63,20 +63,42 @@ def build_scaling_rotation(scale: jax.Array, q: jax.Array) -> jax.Array:
     return R * scale[..., None, :]  # column-scaling == R @ diag(s)
 
 
+def quat_to_rotmat_cols(q: jax.Array):
+    """(..., 4) wxyz quaternion -> 9 scalar channels (r00..r22).
+
+    Channel form instead of (..., 3, 3): batched tiny-matrix tensors force
+    XLA:TPU into padded T(4,128)/convolution lowerings (measured ~3 ms of a
+    24 ms train step just in the cov3d/EWA chains); scalar channels fuse
+    into a single elementwise kernel."""
+    q = quat_normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy))
+
+
 def cov3d_packed(scale: jax.Array, q: jax.Array, scale_modifier: float | jax.Array = 1.0) -> jax.Array:
     """3D covariance Σ = L Lᵀ with L = R diag(s·mod), packed to 6 upper-tri terms.
 
     Packing order (xx, xy, xz, yy, yz, zz) matches the reference's
     `strip_symmetric` consumer layout (utils/general_utils.py:113-127,
-    scene/gaussian_model.py:28-32).
-    """
-    L = build_scaling_rotation(scale * scale_modifier, q)
-    cov = L @ jnp.swapaxes(L, -1, -2)
-    return jnp.stack(
-        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
-         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
-        axis=-1,
-    )
+    scene/gaussian_model.py:28-32). Written as scalar channels —
+    cov[i,k] = Σ_j R[i,j] R[k,j] s_j² — so the whole thing (and its
+    backward) is one fused elementwise pass, not batched 3x3 matmuls."""
+    s = scale * scale_modifier
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_cols(q)
+    return jnp.stack([
+        r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2,
+        r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2,
+        r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2,
+        r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2,
+        r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2,
+        r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2,
+    ], axis=-1)
 
 
 def unpack_cov3d(packed: jax.Array) -> jax.Array:

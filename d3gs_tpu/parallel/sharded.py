@@ -70,7 +70,22 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
             lambda x: jax.lax.all_gather(x, axis, tiled=True), splats_l)
         my = jax.lax.axis_index(axis)
         ty0 = my * tiles_y_local
-        if pipe_cfg.binning == "packed":
+        binning = pipe_cfg.binning
+        if binning == "auto":
+            binning = "pallas" if jax.default_backend() == "tpu" \
+                else "packed"
+        if binning == "pallas":
+            from ..ops.pallas_blend import blend_records_pallas
+            rbins = bin_splats_records(
+                jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                tiles_y=tiles_y_local, dup_capacity=pipe_cfg.dup_capacity,
+                tile_y0=ty0, tight_cull=pipe_cfg.tight_cull)
+            img, dep, alp = blend_records_pallas(
+                pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                tiles_y=tiles_y_local, width=width, height=strip_h,
+                interpret=jax.default_backend() != "tpu", tile_y0=ty0)
+            return img, dep, alp, radii_l, rbins.counts
+        if binning == "packed":
             rbins = bin_splats_records(
                 jax.lax.stop_gradient(splats), tiles_x=tiles_x,
                 tiles_y=tiles_y_local, dup_capacity=pipe_cfg.dup_capacity,
@@ -81,7 +96,7 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
                 tile_capacity=pipe_cfg.tile_capacity,
                 tile_chunk=pipe_cfg.tile_chunk, tile_y0=ty0)
             return img, dep, alp, radii_l, rbins.counts
-        if pipe_cfg.binning == "sort":
+        if binning == "sort":
             bins = bin_splats_sorted(
                 jax.lax.stop_gradient(splats), tiles_x=tiles_x,
                 tiles_y=tiles_y_local, capacity=pipe_cfg.tile_capacity,

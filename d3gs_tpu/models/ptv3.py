@@ -1,0 +1,296 @@
+"""Point Transformer V3 — TPU-native (flax) counterpart of the reference's
+vendored Pointcept implementation (utils/ptv3_model.py, 982 LoC +
+utils/serialization/{default,hilbert,z_order}.py; dormant — not imported by
+any train/render script, kept as a candidate trajectory encoder,
+SURVEY.md §2 component 24).
+
+What is kept from PTv3:
+  * space-filling-curve serialization with FOUR orders (z, z-trans,
+    hilbert, hilbert-trans), alternated across blocks (ptv3_model.py
+    `order` param + Point.serialization);
+  * serialized (windowed) attention over patches of the sorted order
+    (SerializedAttention, patch_size semantics);
+  * conditional positional encoding before attention, realized as a
+    depthwise convolution along the serialized order (the reference xCPE
+    uses a spconv submanifold conv — a sparse-neighborhood op; on TPU the
+    serialized-sequence conv is the natural dense analog);
+  * grid pooling / unpooling encoder-decoder with skip connections
+    (SerializedPooling/SerializedUnpooling: pool = merge points sharing a
+    coarse grid cell, unpool = broadcast parents back to children).
+
+TPU-first re-design decisions:
+  * dense padded buffers with an alive mask instead of ragged
+    batch/offset bookkeeping — shapes are static for XLA;
+  * pure-JAX z-order (bit interleave) and Hilbert (Skilling transpose
+    algorithm) encoders instead of LUT tensors / torch bit tricks;
+  * flax MHA over (groups, patch, C) with mask, no flash-attn dependency;
+  * PDNorm (multi-dataset conditional norm) and drop-path are omitted —
+    both are training-recipe features orthogonal to the architecture.
+
+Default widths/depths follow the reference constructor defaults
+(ptv3_model.py:787-815).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# serialization curves
+# ---------------------------------------------------------------------------
+
+def z_order_encode(grid: jax.Array, depth: int = 10) -> jax.Array:
+    """(N, 3) non-negative int grid coords -> (N,) Morton codes.
+
+    depth bits per axis; 3*depth must fit int32 (default 30 bits). The
+    reference uses a 16-bit LUT variant (z_order.py:40-63); plain shifts
+    fuse fine on TPU."""
+    x = grid.astype(jnp.int32)
+    code = jnp.zeros(grid.shape[:-1], jnp.int32)
+    for b in range(depth):
+        for i in range(3):
+            bit = (x[..., i] >> b) & 1
+            code = code | (bit << (3 * b + (2 - i)))
+    return code
+
+
+def hilbert_encode(grid: jax.Array, depth: int = 10) -> jax.Array:
+    """(N, 3) grid coords -> (N,) Hilbert-curve indices (Skilling's
+    transpose algorithm, vectorized over points; reference
+    serialization/hilbert.py:91-198)."""
+    n = 3
+    X = [grid[..., i].astype(jnp.int32) for i in range(n)]
+
+    m = 1 << (depth - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            has = (X[i] & q) != 0
+            # invert low bits of X[0], or exchange low bits of X[0]/X[i]
+            inv0 = X[0] ^ p
+            t = (X[0] ^ X[i]) & p
+            X0_ex, Xi_ex = X[0] ^ t, X[i] ^ t
+            X[0] = jnp.where(has, inv0, X0_ex)
+            if i > 0:
+                X[i] = jnp.where(has, X[i], Xi_ex)
+        q >>= 1
+
+    # gray encode
+    for i in range(1, n):
+        X[i] = X[i] ^ X[i - 1]
+    t = jnp.zeros_like(X[0])
+    q = m
+    while q > 1:
+        t = jnp.where((X[n - 1] & q) != 0, t ^ (q - 1), t)
+        q >>= 1
+    for i in range(n):
+        X[i] = X[i] ^ t
+
+    # interleave transposed bits, MSB-first
+    code = jnp.zeros_like(X[0])
+    for b in range(depth):
+        for i in range(n):
+            bit = (X[i] >> b) & 1
+            code = code | (bit << (b * n + (n - 1 - i)))
+    return code
+
+
+_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+
+def serialize(grid: jax.Array, order: str, depth: int = 10) -> jax.Array:
+    """Curve code for one of the four PTv3 orders; '-trans' permutes the
+    axes (reference Point.serialization order list)."""
+    g = grid[..., (1, 0, 2)] if order.endswith("-trans") else grid
+    if order.startswith("z"):
+        return z_order_encode(g, depth)
+    return hilbert_encode(g, depth)
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+class _MLP(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.out)(x)
+
+
+class SerializedAttention(nn.Module):
+    """Windowed MHA over patches of the curve-sorted order
+    (reference SerializedAttention:319-491)."""
+    channels: int
+    num_heads: int
+    patch_size: int
+
+    @nn.compact
+    def __call__(self, x, sort_idx, inv_idx, mask):
+        n, c = x.shape
+        k = self.patch_size
+        pad = (-n) % k
+        xs = x[sort_idx]
+        ms = mask[sort_idx]
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, c), x.dtype)], axis=0)
+            ms = jnp.concatenate([ms, jnp.zeros((pad,), mask.dtype)], axis=0)
+        g = xs.shape[0] // k
+        xs = xs.reshape(g, k, c)
+        ms = ms.reshape(g, k)
+        attn_mask = ms[:, None, None, :] > 0            # (g, 1, 1, k)
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.channels)(
+            xs, xs, mask=attn_mask)
+        out = out.reshape(g * k, c)[:n]
+        return out[inv_idx] * mask[:, None]
+
+
+class Block(nn.Module):
+    """xCPE + attention + MLP with pre-norm residuals
+    (reference Block:519-607)."""
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, sort_idx, inv_idx, mask):
+        # xCPE: depthwise conv along the serialized order (stand-in for the
+        # reference's submanifold sparse conv, Block cpe branch)
+        xs = x[sort_idx]
+        w = self.param("cpe_w", nn.initializers.normal(0.02),
+                       (3, self.channels))
+        left = jnp.concatenate([xs[:1], xs[:-1]], axis=0)
+        right = jnp.concatenate([xs[1:], xs[-1:]], axis=0)
+        cpe = left * w[0] + xs * w[1] + right * w[2]
+        x = x + cpe[inv_idx] * mask[:, None]
+
+        h = nn.LayerNorm()(x)
+        h = SerializedAttention(self.channels, self.num_heads,
+                                self.patch_size)(h, sort_idx, inv_idx, mask)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = _MLP(int(self.channels * self.mlp_ratio), self.channels)(h)
+        return x + h * mask[:, None]
+
+
+def _sort_and_inverse(code, mask):
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(mask > 0, code, big)
+    sort_idx = jnp.argsort(key)
+    inv_idx = jnp.argsort(sort_idx)
+    return sort_idx, inv_idx
+
+
+def grid_pool(feats, grid, code_fn, mask, pool_bits: int = 1):
+    """Merge points sharing a coarse grid cell (SerializedPooling:609-713).
+
+    Static shapes: outputs keep capacity N with a new alive mask; returns
+    (pooled_feats_raw, pooled_grid, parent_of_child, new_mask). The caller
+    applies the projection/norm. Mean-pools features and coords."""
+    n = feats.shape[0]
+    coarse = grid >> pool_bits                         # (N, 3)
+    code = code_fn(coarse)
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(mask > 0, code, big)
+    order = jnp.argsort(key)                           # alive cells first
+    sorted_key = key[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int32)])
+    head = head * (sorted_key != big).astype(jnp.int32)
+    seg_of_sorted = jnp.cumsum(head) - 1               # (N,), -1 for dead
+    num_seg = jnp.maximum(seg_of_sorted[-1] + 1, 0)
+    seg = jnp.where(sorted_key != big, seg_of_sorted, n - 1)
+
+    ones = (sorted_key != big).astype(jnp.float32)
+    cnt = jnp.zeros((n,), jnp.float32).at[seg].add(ones)
+    fsum = jnp.zeros((n, feats.shape[1]), feats.dtype).at[seg].add(
+        feats[order] * ones[:, None])
+    gsum = jnp.zeros((n, 3), jnp.float32).at[seg].add(
+        grid[order].astype(jnp.float32) * ones[:, None])
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    pooled = fsum / denom
+    pooled_grid = (gsum / denom).astype(jnp.int32) >> pool_bits
+
+    new_mask = (jnp.arange(n) < num_seg).astype(mask.dtype)
+    # parent index per ORIGINAL child position (for unpooling)
+    parent = jnp.zeros((n,), jnp.int32).at[order].set(seg)
+    return pooled, pooled_grid, parent, new_mask
+
+
+class PointTransformerV3(nn.Module):
+    """Encoder-decoder PTv3 over one padded point cloud.
+
+    __call__(feats (N, C_in), grid (N, 3) int, mask (N,)) -> (N, C_out)
+    per-point features (C_out = dec_channels[0]). Defaults follow the
+    reference constructor (ptv3_model.py:787-815), scaled to be
+    instantiable at test sizes via the constructor args."""
+    in_channels: int = 6
+    enc_depths: Sequence[int] = (2, 2, 2, 6, 2)
+    enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
+    enc_heads: Sequence[int] = (2, 4, 8, 16, 32)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    dec_channels: Sequence[int] = (64, 64, 128, 256)
+    dec_heads: Sequence[int] = (4, 4, 8, 16)
+    patch_size: int = 48
+    orders: Sequence[str] = _ORDERS
+    curve_depth: int = 10
+
+    @nn.compact
+    def __call__(self, feats, grid, mask):
+        mask = mask.astype(jnp.float32)
+        n_stages = len(self.enc_depths)
+
+        def run_blocks(x, g, m, depth, channels, heads):
+            codes = {o: serialize(g, o, self.curve_depth)
+                     for o in self.orders}
+            for b in range(depth):
+                order = self.orders[b % len(self.orders)]
+                si, ii = _sort_and_inverse(codes[order], m)
+                x = Block(channels, heads, self.patch_size)(x, si, ii, m)
+            return x
+
+        # embedding (reference Embedding:753-784; conv -> dense)
+        x = nn.Dense(self.enc_channels[0])(feats)
+        x = nn.LayerNorm()(x)
+        x = nn.gelu(x) * mask[:, None]
+
+        # encoder: per level keep (features, grid, mask); pooling also
+        # yields the child->parent map consumed by the decoder's unpool
+        enc_x, enc_g, enc_m, parents = [], [], [], []
+        g, m = grid, mask
+        for s in range(n_stages):
+            if s > 0:
+                pooled, g, parent, m_new = grid_pool(
+                    x, g, lambda c: z_order_encode(c, self.curve_depth), m)
+                x = nn.Dense(self.enc_channels[s])(pooled)
+                x = nn.LayerNorm()(x) * m_new[:, None]
+                parents.append(parent)
+                m = m_new
+            x = run_blocks(x, g, m, self.enc_depths[s],
+                           self.enc_channels[s], self.enc_heads[s])
+            enc_x.append(x)
+            enc_g.append(g)
+            enc_m.append(m)
+
+        # decoder: unpool from level s+1 to s, concat the level-s skip
+        # (reference SerializedUnpooling:715-751 + dec stages)
+        for s in range(n_stages - 2, -1, -1):
+            x = x[parents[s]]                      # broadcast to children
+            x = jnp.concatenate([x, enc_x[s]], axis=-1)
+            x = nn.Dense(self.dec_channels[s])(x)
+            x = nn.LayerNorm()(x) * enc_m[s][:, None]
+            x = run_blocks(x, enc_g[s], enc_m[s], self.dec_depths[s],
+                           self.dec_channels[s], self.dec_heads[s])
+        return x * enc_m[0][:, None]

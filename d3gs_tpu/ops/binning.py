@@ -231,10 +231,20 @@ def bin_splats_records(
     depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
     order = jnp.argsort(depth_key)
 
-    tmin = splats.tile_min[order]
-    ty_lo = ty_lo_u[order]
-    bw = bw_u[order]
-    cnt = cnt_u[order]
+    # ONE row gather for every per-Gaussian field the expansion needs
+    # (four separate (N,) gathers by `order` measured 4x 0.31 ms at N=44k;
+    # all values are exact in f32: offsets < 2^24)
+    cols_u = [splats.tile_min[:, 0].astype(jnp.float32),
+              ty_lo_u.astype(jnp.float32),
+              jnp.maximum(bw_u, 1).astype(jnp.float32),
+              cnt_u.astype(jnp.float32)]
+    if tight_cull:
+        cols_u += [splats.means2d[:, 0], splats.means2d[:, 1],
+                   splats.conics[:, 0], splats.conics[:, 1],
+                   splats.conics[:, 2],
+                   jnp.log(jnp.maximum(splats.opacities, 1e-30))]
+    tab = jnp.stack(cols_u, axis=-1)[order]                # (N, 4 or 10)
+    cnt = tab[:, 3].astype(jnp.int32)
     offsets = jnp.cumsum(cnt) - cnt
     total = offsets[-1] + cnt[-1]
 
@@ -244,18 +254,10 @@ def bin_splats_records(
     src = jnp.cumsum(marks) - 1
     valid = (m < total) & (src >= 0)
     src = jnp.clip(src, 0, n - 1)
-    # gathers cost per index on TPU: fetch every per-Gaussian field the
-    # expansion needs as ONE row (all values exact in f32: offsets < 2^24)
-    cols = [offsets.astype(jnp.float32),
-            tmin[:, 0].astype(jnp.float32),
-            ty_lo.astype(jnp.float32),
-            jnp.maximum(bw, 1).astype(jnp.float32)]
-    if tight_cull:
-        lnopa = jnp.log(jnp.maximum(splats.opacities[order], 1e-30))
-        cols += [splats.means2d[order, 0], splats.means2d[order, 1],
-                 splats.conics[order, 0], splats.conics[order, 1],
-                 splats.conics[order, 2], lnopa]
-    row = jnp.stack(cols, axis=-1)[src]                    # (M, 4 or 10)
+    row_tab = jnp.concatenate(
+        [offsets.astype(jnp.float32)[:, None], tab[:, :1], tab[:, 1:2],
+         tab[:, 2:3]] + ([tab[:, 4:]] if tight_cull else []), axis=-1)
+    row = row_tab[src]                                     # (M, 4 or 10)
     j = m - row[:, 0].astype(jnp.int32)
     w_src = row[:, 3].astype(jnp.int32)
     q = jnp.floor(j.astype(jnp.float32) / row[:, 3]).astype(jnp.int32)

@@ -110,8 +110,13 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
                     return render_one(st, cam, dx, dr, ds, tap, bg)
                 return render_one(st, cam, 0.0, 0.0, 0.0, tap, bg)
 
-            losses, ll1s, radii, ovf = jax.vmap(
-                per_cam, in_axes=(0, 0, 0, 0))(cams, dxs, drs, dss)
+            # lax.map (scan), NOT vmap: batching the pallas blend + the
+            # binning sorts across cameras measured ~2x slower per camera
+            # than running them sequentially (36 vs 19 ms/camera at k=10);
+            # the TPU core is serial anyway, and scan keeps each camera's
+            # working set VMEM-sized
+            losses, ll1s, radii, ovf = jax.lax.map(
+                lambda args: per_cam(*args), (cams, dxs, drs, dss))
             return jnp.mean(losses), (jnp.mean(ll1s),
                                       jnp.max(radii, axis=0),
                                       jnp.max(ovf))

@@ -51,7 +51,7 @@ def render(
     tile_chunk: int = 40,
     bin_chunk: int = 2048,
     antialias: bool = False,
-    binning: str = "packed",
+    binning: str = "auto",
     dup_capacity: int = 0,
     tight_cull: bool = False,
 ) -> RenderOutput:

@@ -234,16 +234,21 @@ def bin_splats_records(
     # ONE row gather for every per-Gaussian field the expansion needs
     # (four separate (N,) gathers by `order` measured 4x 0.31 ms at N=44k;
     # all values are exact in f32: offsets < 2^24)
+    bw1 = jnp.maximum(bw_u, 1)
     cols_u = [splats.tile_min[:, 0].astype(jnp.float32),
               ty_lo_u.astype(jnp.float32),
-              jnp.maximum(bw_u, 1).astype(jnp.float32),
-              cnt_u.astype(jnp.float32)]
+              bw1.astype(jnp.float32),
+              cnt_u.astype(jnp.float32),
+              # per-Gaussian reciprocal: the per-duplicate j // bw becomes
+              # floor(j * rcp) (+/-1 corrected below) — a VPU multiply
+              # instead of a division, which dominated the expand fusion
+              1.0 / bw1.astype(jnp.float32)]
     if tight_cull:
         cols_u += [splats.means2d[:, 0], splats.means2d[:, 1],
                    splats.conics[:, 0], splats.conics[:, 1],
                    splats.conics[:, 2],
                    jnp.log(jnp.maximum(splats.opacities, 1e-30))]
-    tab = jnp.stack(cols_u, axis=-1)[order]                # (N, 4 or 10)
+    tab = jnp.stack(cols_u, axis=-1)[order]                # (N, 5 or 11)
     cnt = tab[:, 3].astype(jnp.int32)
     offsets = jnp.cumsum(cnt) - cnt
     total = offsets[-1] + cnt[-1]
@@ -255,12 +260,12 @@ def bin_splats_records(
     valid = (m < total) & (src >= 0)
     src = jnp.clip(src, 0, n - 1)
     row_tab = jnp.concatenate(
-        [offsets.astype(jnp.float32)[:, None], tab[:, :1], tab[:, 1:2],
-         tab[:, 2:3]] + ([tab[:, 4:]] if tight_cull else []), axis=-1)
-    row = row_tab[src]                                     # (M, 4 or 10)
+        [offsets.astype(jnp.float32)[:, None], tab[:, :3], tab[:, 4:5]]
+        + ([tab[:, 5:]] if tight_cull else []), axis=-1)
+    row = row_tab[src]                                     # (M, 5 or 11)
     j = m - row[:, 0].astype(jnp.int32)
     w_src = row[:, 3].astype(jnp.int32)
-    q = jnp.floor(j.astype(jnp.float32) / row[:, 3]).astype(jnp.int32)
+    q = jnp.floor(j.astype(jnp.float32) * row[:, 4]).astype(jnp.int32)
     r = j - q * w_src
     q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
     r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
@@ -269,9 +274,9 @@ def bin_splats_records(
     local_tile = (ty - y0) * tiles_x + tx
 
     if tight_cull:
-        pmax = _tile_max_power(row[:, 4], row[:, 5], row[:, 6], row[:, 7],
-                               row[:, 8], tx, ty)
-        valid = valid & (pmax + row[:, 9] >= jnp.log(1.0 / 255.0))
+        pmax = _tile_max_power(row[:, 5], row[:, 6], row[:, 7], row[:, 8],
+                               row[:, 9], tx, ty)
+        valid = valid & (pmax + row[:, 10] >= jnp.log(1.0 / 255.0))
 
     big = num_tiles << shift
     key = jnp.where(valid, (local_tile << shift) | src, big)

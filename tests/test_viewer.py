@@ -2,6 +2,7 @@
 import json
 import socket
 import threading
+import time
 
 import numpy as np
 
@@ -52,10 +53,13 @@ def test_network_viewer_roundtrip():
     t = threading.Thread(target=client)
     t.start()
     handled = False
-    for _ in range(200):
+    # accept is non-blocking (training loops poll it); give the client
+    # thread time to actually connect between polls
+    for _ in range(500):
         if viewer.serve_once(render_fn, verify="ok"):
             handled = True
             break
+        time.sleep(0.01)
     t.join(timeout=10)
     viewer.close()
     assert handled

@@ -113,6 +113,43 @@ def _round_capacity(n: int) -> int:
     return max(1024, int(np.ceil(n / 1024)) * 1024)
 
 
+def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Re-pad every per-Gaussian buffer to a larger capacity.
+
+    The TPU answer to the reference's dynamically growing tensors
+    (gaussian_model.py cat_tensors_to_optimizer): shapes stay static
+    between growths, and a growth costs one recompile of the train step —
+    trainers trigger it when densification fills ~90% of the buffer, a
+    handful of times per run. New rows are dead (alive=False), quaternions
+    identity, Adam moments zero."""
+    cap = state.capacity
+    assert new_capacity >= cap
+    pad = new_capacity - cap
+    if pad == 0:
+        return state
+
+    def grow(x, fill=0.0):
+        if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != cap:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    params = state.params._replace(
+        **{k: grow(v) for k, v in state.params._asdict().items()})
+    rot = params.rotation.at[cap:, 0].set(1.0)
+    params = params._replace(rotation=rot)
+    opt = state.opt._replace(
+        **{k: (jax.tree.map(grow, v) if k != "count" else v)
+           for k, v in state.opt._asdict().items()})
+    return state.replace(
+        params=params, opt=opt,
+        alive=grow(state.alive, False),
+        grad_accum=grow(state.grad_accum),
+        denom=grow(state.denom),
+        max_radii2d=grow(state.max_radii2d),
+        capacity=new_capacity)
+
+
 def create_from_pcd(points: np.ndarray, colors: np.ndarray, *,
                     sh_degree: int = 3, spatial_lr_scale: float = 1.0,
                     max_gaussians: int = 500_000,

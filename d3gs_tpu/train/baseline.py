@@ -148,6 +148,15 @@ def train_baseline(
         if iteration < opt_cfg.densify_until_iter:
             if (iteration > opt_cfg.densify_from_iter
                     and iteration % opt_cfg.densification_interval == 0):
+                # grow the padded buffer when densification fills it: the
+                # TPU counterpart of the reference's dynamically-resized
+                # tensors — one recompile per growth, a few per run
+                if (int(state.num_alive) > 0.9 * state.capacity
+                        and state.capacity < model_cfg.max_gaussians):
+                    new_cap = min(
+                        G._round_capacity(state.capacity * 2),
+                        G._round_capacity(model_cfg.max_gaussians))
+                    state = G.grow_capacity(state, new_cap)
                 size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
                     else 0.0
                 key, k2 = jax.random.split(key)

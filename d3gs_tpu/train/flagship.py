@@ -270,6 +270,12 @@ def train_flagship(
         if densify_allowed and iteration < opt_cfg.densify_until_iter:
             if (iteration > opt_cfg.densify_from_iter
                     and iteration % opt_cfg.densification_interval == 0):
+                # capacity growth schedule (see train/baseline.py)
+                if (int(state.num_alive) > 0.9 * state.capacity
+                        and state.capacity < model_cfg.max_gaussians):
+                    state = G.grow_capacity(state, min(
+                        G._round_capacity(state.capacity * 2),
+                        G._round_capacity(model_cfg.max_gaussians)))
                 size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
                     else 0.0
                 key, k2 = jax.random.split(key)

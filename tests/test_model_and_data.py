@@ -123,3 +123,39 @@ def test_sh_degree_ramp():
     for _ in range(5):
         st = G.oneup_sh_degree(st)
     assert int(st.active_sh_degree) == 2  # capped at max
+
+
+def test_grow_capacity_preserves_state():
+    """grow_capacity: params/opt/stats preserved, new rows dead, renders
+    and densification keep working at the new capacity."""
+    import jax
+    import jax.numpy as jnp
+    from d3gs_tpu.models import gaussians as G
+
+    rng = np.random.default_rng(0)
+    n, cap = 100, 128
+    st = G.create_from_pcd((rng.random((n, 3)) * 2 - 1).astype(np.float32),
+                           rng.random((n, 3)).astype(np.float32),
+                           sh_degree=1, capacity=cap)
+    st = st.replace(opt=jax.tree.map(
+        lambda x: x + 1.0 if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x, st.opt))
+    g2 = G.grow_capacity(st, 256)
+    assert g2.capacity == 256
+    assert int(g2.num_alive) == n
+    np.testing.assert_array_equal(np.asarray(g2.params.xyz[:cap]),
+                                  np.asarray(st.params.xyz))
+    np.testing.assert_array_equal(np.asarray(g2.opt.m.xyz[:cap]),
+                                  np.asarray(st.opt.m.xyz))
+    assert not bool(g2.alive[cap:].any())
+    # padded quaternions stay unit-normalizable
+    q = np.asarray(g2.get_rotation[cap:])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+    # densify still works at the new capacity
+    g3 = G.densify_and_prune(
+        g2.replace(grad_accum=jnp.full((256,), 1.0),
+                   denom=jnp.ones((256,)),
+                   max_radii2d=jnp.full((256,), 5.0)),
+        jax.random.PRNGKey(0), max_grad=1e-9, min_opacity=0.005,
+        extent=jnp.asarray(4.0), max_screen_size=0.0, percent_dense=0.01)
+    assert int(g3.num_alive) >= n

@@ -88,19 +88,29 @@ def main(argv=None):
                                      state, dstate.params, render_at, bg)
 
     if args.benchmark:
+        # device-true timing: block_until_ready does not synchronize on
+        # this platform's tunnel — chain frames on-device in one fori_loop
+        # (carry-dependent fid so nothing is elided) and fetch one scalar;
+        # difference two loop lengths to cancel the fixed roundtrip
         import time
         view = test_views[0]
-        # warm up + compile
-        out = render_at(state, dstate.params, view, bg)
-        jax.block_until_ready(out.image)
-        n_frames = 100
-        t0 = time.perf_counter()
-        img = None
-        for i in range(n_frames):
-            out = render_at(state, dstate.params, view, bg)
-            img = out.image
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / n_frames
+
+        def frame(c):
+            out = render_at(state, dstate.params,
+                            RM.camera_with_fid(view, jnp.abs(
+                                jnp.sin(c + 0.5))), bg)
+            return jnp.sum(out.image) * 1e-12
+
+        def run(n):
+            f = jax.jit(lambda c, n=n: jax.lax.fori_loop(
+                0, n, lambda i, c2: frame(c2), c))
+            float(f(jnp.asarray(0.0)))          # compile + sync
+            t0 = time.perf_counter()
+            float(f(jnp.asarray(0.0)))
+            return time.perf_counter() - t0
+
+        t_lo, t_hi = run(5), run(55)
+        dt = (t_hi - t_lo) / 50.0
         mrays = view.width * view.height / dt / 1e6
         print(f"render-only: {1.0 / dt:.1f} FPS, {mrays:.1f} Mrays/s "
               f"@ {view.width}x{view.height}")

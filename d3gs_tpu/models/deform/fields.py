@@ -50,7 +50,10 @@ class DeformFieldSpec:
     rtol: float = 1e-3              # kept for adaptive-solver parity runs
     atol: float = 1e-4
     compute_dtype: str = "float32"   # MLP activation dtype ("float32" |
-                                     # "bfloat16"); params/outputs stay f32
+                                     # "bfloat16"); params/outputs stay f32.
+                                     # bf16 halves MLP time but measured
+                                     # ~0.9 dB PSNR cost at 2k iters on the
+                                     # synthetic scene — opt-in only
 
 
 @struct.dataclass

@@ -194,6 +194,12 @@ def train_baseline(
             result.test_psnrs[iteration] = mean_psnr
             if tb_writer is not None:
                 tb_writer.add_scalar("test/psnr", mean_psnr, iteration)
+                # reference training_report logs the opacity histogram +
+                # total point count at eval iterations (train.py:415-419)
+                alive = np.asarray(state.alive)
+                tb_writer.add_histogram(
+                    "scene/opacity_histogram",
+                    np.asarray(state.get_opacity)[alive], iteration)
             if mean_psnr > result.best_psnr:
                 result.best_psnr = mean_psnr
                 result.best_iteration = iteration

@@ -308,6 +308,12 @@ def train_flagship(
                                         tc.image)))
             mean_psnr = float(np.mean(psnrs))
             result.test_psnrs[iteration] = mean_psnr
+            if tb_writer is not None:
+                tb_writer.add_scalar("test/psnr", mean_psnr, iteration)
+                alive = np.asarray(state.alive)
+                tb_writer.add_histogram(
+                    "scene/opacity_histogram",
+                    np.asarray(state.get_opacity)[alive], iteration)
             if mean_psnr > result.best_psnr:
                 result.best_psnr = mean_psnr
                 result.best_iteration = iteration

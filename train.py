@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int,
                         default=[7000, 10000, 20000, 30000, 40000])
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax_debug_nans: fail fast on NaN/Inf "
+                             "(reference torch.autograd.set_detect_anomaly,"
+                             " train.py:457)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--configs", type=str, default="",
                         help="python config overlay (replaces mmcv configs)")
@@ -39,6 +43,10 @@ def main(argv=None):
                         help="warm-start from a pretrained run; freezes "
                              "gaussians (train.py:72-79 semantics)")
     args = parser.parse_args(argv)
+
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     model_cfg = C.extract_group(args, C.ModelParams)
     pipe_cfg = C.extract_group(args, C.PipelineParams)

@@ -171,7 +171,7 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     out_ref[0, :, 7:8] = jnp.zeros((P, 1), jnp.float32)
 
 
-def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
+def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
                 gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
     """Single REVERSE sweep per tile (the CUDA backward's back-to-front
     replay, renderCUDA backward): walk blocks last→first carrying
@@ -195,12 +195,14 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref,
     mono = jnp.concatenate(
         [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly], axis=1)
 
+    # upstream cotangent channels + the fwd pass's anchors, read straight
+    # from the two (T, P, 8) buffers (no XLA-side repacking)
     g_img = g_ref[0, :, 0:3]                           # (P, 3)
     g_dep = g_ref[0, :, 3:4]                           # (P, 1)
     g_tf = g_ref[0, :, 4:5]
-    t_final = g_ref[0, :, 5:6]
-    log_tend = g_ref[0, :, 6:7]                        # log T(end), (P, 1)
-    b_eff = g_ref[0, 0, 7].astype(jnp.int32)           # blocks fwd processed
+    t_final = out_ref[0, :, 4:5]
+    log_tend = out_ref[0, :, 5:6]                      # log T(end), (P, 1)
+    b_eff = out_ref[0, 0, 6].astype(jnp.int32)         # blocks fwd processed
 
     def dma_r(slot, b):
         return pltpu.make_async_copy(slab_ref.at[b0 + b], rbuf.at[slot],
@@ -363,7 +365,8 @@ def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
     )(starts, ox, oy, slab_blocks)
 
 
-def _bwd_pallas(slab_blocks, starts, ox, oy, gbuf, *, num_tiles, interpret):
+def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
+                interpret):
     mb = slab_blocks.shape[0]
     return pl.pallas_call(
         _bwd_kernel,
@@ -371,6 +374,8 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, gbuf, *, num_tiles, interpret):
             num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -385,7 +390,7 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, gbuf, *, num_tiles, interpret):
                    jax.ShapeDtypeStruct((num_tiles, 2, _REC, KB),
                                         jnp.float32)],
         interpret=interpret,
-    )(starts, ox, oy, slab_blocks, gbuf)
+    )(starts, ox, oy, slab_blocks, g, out)
 
 
 def _make_blocks(rec_pad, rank_pad):
@@ -415,12 +420,7 @@ def _core_fwd(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts, ox, oy,
 def _core_bwd(num_tiles, interpret, res, g):
     slab_blocks, perm_pad, dup_lo, dup_hi, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
-    t_final = out[:, :, 4:5]
-    log_tend = out[:, :, 5:6]      # exact log-space anchor from the fwd
-    nb_eff = out[:, :, 6:7]
-    gbuf = jnp.concatenate(
-        [g[:, :, 0:5], t_final, log_tend, nb_eff], axis=-1)
-    g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, gbuf,
+    g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
                                  num_tiles=num_tiles, interpret=interpret)
 
     # mask: main blocks are valid only if strictly interior to their tile

@@ -68,6 +68,9 @@ class PipelineParams:
     tight_cull: bool = False        # exact ellipse-tile cull (opt-in: pays a
                                 # wider expand gather; the alpha-aware
                                 # radius in projection.py is always on)
+    pair_tiles: bool = False        # pallas blend: 2 tiles per grid step
+                                # (no gain at 625 tiles/400px; retained for
+                                # the fused multi-camera path)
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single

@@ -54,6 +54,7 @@ def render(
     binning: str = "auto",
     dup_capacity: int = 0,
     tight_cull: bool = False,
+    pair_tiles: bool = False,
 ) -> RenderOutput:
     p = gaussians.params
 
@@ -115,7 +116,7 @@ def render(
         image, depth, alpha = blend_records_pallas(
             records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
             width=width, height=height,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", pair=pair_tiles)
         return RenderOutput(image=image, depth=depth, alpha=alpha,
                             radii=splats.radii, counts=rbins.counts)
     if binning == "packed":

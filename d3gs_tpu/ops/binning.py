@@ -157,9 +157,10 @@ class RecordBins(NamedTuple):
     starts: jax.Array        # (T+1,) segment start of each tile
     counts: jax.Array        # (T,)
     order: jax.Array         # (N,) depth order (rank -> gaussian id)
-    perm: jax.Array          # (M,) depth-dup index of each sorted duplicate
-    dup_offsets: jax.Array   # (N,) depth-dup segment start per rank
-    dup_counts: jax.Array    # (N,) pre-cull covered-tile count per rank
+    rank_bounds: jax.Array   # (N+1,) exclusive cumsum of SURVIVING dup
+    #                          counts per rank (last entry = total): the
+    #                          blend backward's per-rank segment boundaries
+    #                          after its stable re-group-by-rank sort
 
 
 def _tile_max_power(mux, muy, ca, cb, cc, tx, ty):
@@ -280,20 +281,31 @@ def bin_splats_records(
 
     big = num_tiles << shift
     key = jnp.where(valid, (local_tile << shift) | src, big)
-    # co-sort the depth-dup index: perm maps sorted position -> position in
-    # the depth-ordered duplicate stream (whose per-rank segments are
-    # CONTIGUOUS at [dup_offsets, dup_offsets + dup_counts)) — the blend
-    # backward reduces per-duplicate grads through this permutation with a
-    # gather + cumsum instead of an M-row scatter-add (pallas_blend.py)
-    key_sorted, perm = jax.lax.sort((key, m), num_keys=1)
+    # KEYS-ONLY sort: the blend backward re-groups gradient rows by depth
+    # rank with its own stable keys+iota sort of rank_sorted
+    # (pallas_blend.py) — the depth-dup permutation is never materialized.
+    key_sorted = jnp.sort(key)
     rank_sorted = key_sorted & ((1 << shift) - 1)
     starts = jnp.searchsorted(
         key_sorted, jnp.arange(num_tiles + 1) << shift,
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
+    # per-rank SURVIVING duplicate counts (dup-budget overflow / tight-cull
+    # drop some): in depth-dup order each rank's segment is contiguous at
+    # [offsets, offsets+cnt), so a cumsum of the valid mask + two N-row
+    # gathers gives the count — the backward needs the exclusive cumsum as
+    # its rank-segment boundaries (searchsorted there costs ~20 gather
+    # passes over N queries; this is O(M) + two gathers)
+    vcs = jnp.cumsum(valid.astype(jnp.int32))
+    vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
+    lo = jnp.clip(offsets, 0, m_cap)
+    hi = jnp.clip(offsets + cnt, 0, m_cap)
+    cnt_surv = vcsz[hi] - vcsz[lo]                      # (N,)
+    cs_surv = jnp.cumsum(cnt_surv)
+    rank_bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cs_surv]).astype(jnp.int32)  # (N+1,)
     return RecordBins(rank_sorted=rank_sorted, starts=starts, counts=counts,
-                      order=order, perm=perm, dup_offsets=offsets,
-                      dup_counts=cnt)
+                      order=order, rank_bounds=rank_bounds)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",

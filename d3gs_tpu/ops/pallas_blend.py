@@ -349,7 +349,419 @@ def _scan_cumsum(x, kcol):
     return acc, excl
 
 
-def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
+# ---------------------------------------------------------------------------
+# Tile-paired kernels: 2 tiles per grid step, the pair's record blocks
+# lane-stacked as (16, 2*KB) and all per-pixel math on (P, 2*KB) arrays.
+# Adjacent tiles have similar duplicate counts, so the per-step loop bound
+# max(nb_a, nb_b) wastes little, while grid steps, scan-ladder instruction
+# count, and per-block control overhead are all halved. The modular guard
+# `kcol & (KB-1) < s` keeps the doubling ladders from crossing the
+# half-boundary, so each 128-lane segment scans independently.
+# ---------------------------------------------------------------------------
+
+
+def _sel_half(lanehalf, a, b):
+    """(…,1) per-half columns -> one (…, 2*KB) lane-expanded array."""
+    return jnp.where(lanehalf, b, a)
+
+
+def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
+                     sem):
+    t = pl.program_id(0)
+    sA0 = starts_ref[2 * t]
+    sA1 = starts_ref[2 * t + 1]
+    sB1 = starts_ref[2 * t + 2]
+    bA0 = sA0 >> _LOG_KB
+    bB0 = sA1 >> _LOG_KB
+    nbA = jnp.where(sA1 > sA0, ((sA1 - 1) >> _LOG_KB) - bA0 + 1, 0)
+    nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
+    nb = jnp.maximum(nbA, nbB)
+
+    lx, ly = _pixel_grid()
+    kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
+    kmod = kcol2 & (KB - 1)
+    lanehalf = kcol2 >= KB
+    oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
+        .astype(jnp.float32)                               # (1, 2KB)
+    oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
+        .astype(jnp.float32)
+    s0v = _sel_half(lanehalf, sA0, sA1)                    # (1, 2KB)
+    s1v = _sel_half(lanehalf, sA1, sB1)
+    b0v = _sel_half(lanehalf, bA0, bB0)
+
+    def dma(slot, half, b):
+        base = jnp.where(half == 0, bA0, bB0)
+        return pltpu.make_async_copy(slab_ref.at[base + b],
+                                     buf.at[slot, half], sem.at[slot, half])
+
+    @pl.when(nbA > 0)
+    def _():
+        dma(0, 0, 0).start()
+
+    @pl.when(nbB > 0)
+    def _():
+        dma(0, 1, 0).start()
+
+    def body(c):
+        b, tvec2, ltv2, imgA, imgB, depA, depB, tfin2 = c
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nbA)
+        def _():
+            dma(1 - slot, 0, b + 1).start()
+
+        @pl.when(b + 1 < nbB)
+        def _():
+            dma(1 - slot, 1, b + 1).start()
+
+        @pl.when(b < nbA)
+        def _():
+            dma(slot, 0, b).wait()
+
+        @pl.when(b < nbB)
+        def _():
+            dma(slot, 1, b).wait()
+
+        blk = jnp.concatenate([buf[slot, 0], buf[slot, 1]], axis=1)
+        # per-record fields, all (1, 2KB) rows
+        mm_x = blk[0:1] - oxv
+        mm_y = blk[1:2] - oyv
+        ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
+        opa = blk[8:9]
+        kg = (b0v + b) * KB + kmod
+        live = (kg >= s0v) & (kg < s1v)                    # (1, 2KB)
+        # (a half with b >= nb_h has kg >= s1_h, so live masks it out; the
+        # stale buffer contents never reach alpha)
+        dx = mm_x - lx                                     # (P, 2KB)
+        dy = mm_y - ly
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = opa * jnp.exp(power)
+        bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
+        alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
+
+        prod, excl = _scan_products(1.0 - alpha, kmod)
+        tvec_e = _sel_half(lanehalf, tvec2[:, 0:1], tvec2[:, 1:2])
+        tb = tvec_e * excl
+        ti = tvec_e * prod
+        inc = ti >= _T_EPS
+        w = jnp.where(inc, tb * alpha, 0.0)                # (P, 2KB)
+        # sanitize the colour/depth rows: when a half has exhausted its
+        # blocks (b >= nb_h) its buffer slot may be UNINITIALIZED — w is 0
+        # there, but 0 * NaN = NaN inside the dot
+        rgbA = jnp.where(b < nbA, buf[slot, 0][5:8], 0.0)
+        rgbB = jnp.where(b < nbB, buf[slot, 1][5:8], 0.0)
+        dptA = jnp.where(b < nbA, buf[slot, 0][9:10], 0.0)
+        dptB = jnp.where(b < nbB, buf[slot, 1][9:10], 0.0)
+        imgA = imgA + jax.lax.dot_general(
+            w[:, :KB], rgbA, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        imgB = imgB + jax.lax.dot_general(
+            w[:, KB:], rgbB, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        depA = depA + jax.lax.dot_general(
+            w[:, :KB], dptA, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        depB = depB + jax.lax.dot_general(
+            w[:, KB:], dptB, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ti_or_1 = jnp.where(inc, ti, 1.0)
+        tfin2 = jnp.minimum(tfin2, jnp.concatenate(
+            [jnp.min(ti_or_1[:, :KB], axis=1, keepdims=True),
+             jnp.min(ti_or_1[:, KB:], axis=1, keepdims=True)], axis=1))
+        tvec2 = tvec2 * jnp.concatenate(
+            [prod[:, KB - 1:KB], prod[:, 2 * KB - 1:2 * KB]], axis=1)
+        lo = jnp.log1p(-alpha)
+        ltv2 = ltv2 + jnp.concatenate(
+            [jnp.sum(lo[:, :KB], axis=1, keepdims=True),
+             jnp.sum(lo[:, KB:], axis=1, keepdims=True)], axis=1)
+        return (b + 1, tvec2, ltv2, imgA, imgB, depA, depB, tfin2)
+
+    def cond(c):
+        return (c[0] < nb) & (jnp.max(c[1]) >= _T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((P, 2), jnp.float32),
+            jnp.zeros((P, 2), jnp.float32),
+            jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 3), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+            jnp.ones((P, 2), jnp.float32))
+    b_f, tvec2, ltv2, imgA, imgB, depA, depB, tfin2 = \
+        jax.lax.while_loop(cond, body, init)
+
+    # drain prefetched-but-unconsumed DMAs on early termination
+    @pl.when(b_f < nbA)
+    def _():
+        dma(jax.lax.rem(b_f, 2), 0, b_f).wait()
+
+    @pl.when(b_f < nbB)
+    def _():
+        dma(jax.lax.rem(b_f, 2), 1, b_f).wait()
+
+    bff = jnp.full((P, 1), 1.0, jnp.float32) * b_f.astype(jnp.float32)
+    zero = jnp.zeros((P, 1), jnp.float32)
+    out_ref[0, :, 0:3] = imgA
+    out_ref[0, :, 3:4] = depA
+    out_ref[0, :, 4:5] = tfin2[:, 0:1]
+    out_ref[0, :, 5:6] = ltv2[:, 0:1]
+    out_ref[0, :, 6:7] = bff
+    out_ref[0, :, 7:8] = zero
+    out_ref[1, :, 0:3] = imgB
+    out_ref[1, :, 3:4] = depB
+    out_ref[1, :, 4:5] = tfin2[:, 1:2]
+    out_ref[1, :, 5:6] = ltv2[:, 1:2]
+    out_ref[1, :, 6:7] = bff
+    out_ref[1, :, 7:8] = zero
+
+
+def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
+                     gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
+    """Tile-paired reverse sweep: same math as _bwd_kernel on (P, 2*KB)
+    lane-stacked blocks, with per-half carries (log T, suffix sum) kept as
+    (P, 2) columns and per-half interior-write DMA streams."""
+    t = pl.program_id(0)
+    sA0 = starts_ref[2 * t]
+    sA1 = starts_ref[2 * t + 1]
+    sB1 = starts_ref[2 * t + 2]
+    bA0 = sA0 >> _LOG_KB
+    bB0 = sA1 >> _LOG_KB
+    nbA = jnp.where(sA1 > sA0, ((sA1 - 1) >> _LOG_KB) - bA0 + 1, 0)
+    nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
+
+    lx, ly = _pixel_grid()
+    kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
+    kmod = kcol2 & (KB - 1)
+    lanehalf = kcol2 >= KB
+    oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
+        .astype(jnp.float32)
+    oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
+        .astype(jnp.float32)
+    s0v = _sel_half(lanehalf, sA0, sA1)
+    s1v = _sel_half(lanehalf, sA1, sB1)
+    b0v = _sel_half(lanehalf, bA0, bB0)
+    mono = jnp.concatenate(
+        [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly], axis=1)
+
+    g_imgA, g_imgB = g_ref[0, :, 0:3], g_ref[1, :, 0:3]
+    g_depA, g_depB = g_ref[0, :, 3:4], g_ref[1, :, 3:4]
+    gtt2 = jnp.concatenate(
+        [g_ref[0, :, 4:5] * out_ref[0, :, 4:5],
+         g_ref[1, :, 4:5] * out_ref[1, :, 4:5]], axis=1)   # (P, 2)
+    log_tend2 = jnp.concatenate(
+        [out_ref[0, :, 5:6], out_ref[1, :, 5:6]], axis=1)
+    b_eff = out_ref[0, 0, 6].astype(jnp.int32)
+    beffA = jnp.minimum(b_eff, nbA)
+    beffB = jnp.minimum(b_eff, nbB)
+    nb = jnp.maximum(nbA, nbB)
+
+    def dma_r(slot, half, b):
+        base = jnp.where(half == 0, bA0, bB0)
+        return pltpu.make_async_copy(slab_ref.at[base + b],
+                                     rbuf.at[slot, half],
+                                     rsem.at[slot, half])
+
+    def dma_w(slot, half, b):
+        base = jnp.where(half == 0, bA0, bB0)
+        return pltpu.make_async_copy(wbuf.at[slot, half],
+                                     gmain_ref.at[base + b],
+                                     wsem.at[slot, half])
+
+    edge_ref[0, 0] = jnp.zeros((_REC, KB), jnp.float32)
+    edge_ref[0, 1] = jnp.zeros((_REC, KB), jnp.float32)
+    edge_ref[1, 0] = jnp.zeros((_REC, KB), jnp.float32)
+    edge_ref[1, 1] = jnp.zeros((_REC, KB), jnp.float32)
+
+    @pl.when(beffA > 0)
+    def _():
+        dma_r(jax.lax.rem(beffA - 1, 2), 0, beffA - 1).start()
+
+    @pl.when(beffB > 0)
+    def _():
+        dma_r(jax.lax.rem(beffB - 1, 2), 1, beffB - 1).start()
+
+    def grad_block(b, lcarry2, sfx2, blk, bufA, bufB):
+        mm_x = blk[0:1] - oxv
+        mm_y = blk[1:2] - oyv
+        ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
+        opa = blk[8:9]
+        kg = (b0v + b) * KB + kmod
+        # NOTE: select on the int bound, not on booleans — Mosaic cannot
+        # truncate an i8 select result to an i1 vector
+        proc = b < _sel_half(lanehalf, beffA, beffB)
+        live = (kg >= s0v) & (kg < s1v) & proc
+        dx = mm_x - lx
+        dy = mm_y - ly
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = opa * jnp.exp(power)
+        bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
+        alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
+        clamped = bad | (raw > _ALPHA_MAX)
+
+        om = 1.0 - alpha
+        lo = jnp.log1p(-alpha)
+        acc, exc = _scan_cumsum(lo, kmod)
+        s_lo2 = jnp.concatenate(
+            [acc[:, KB - 1:KB], acc[:, 2 * KB - 1:2 * KB]], axis=1)
+        s_lo_e = _sel_half(lanehalf, s_lo2[:, 0:1], s_lo2[:, 1:2])
+        lcarry_e = _sel_half(lanehalf, lcarry2[:, 0:1], lcarry2[:, 1:2])
+        tb = jnp.exp(lcarry_e - s_lo_e + exc)
+        ti = tb * om
+        inc = ti >= _T_EPS
+        w = jnp.where(inc, tb * alpha, 0.0)
+
+        gwA = jax.lax.dot_general(
+            g_imgA, bufA[5:8], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + g_depA * bufA[9:10]
+        gwB = jax.lax.dot_general(
+            g_imgB, bufB[5:8], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + g_depB * bufB[9:10]
+        # non-processed halves read an uninitialized buffer: their lanes
+        # must be hard-zeroed or NaNs leak into the suffix-sum carry
+        gw = jnp.where(proc, jnp.concatenate([gwA, gwB], axis=1), 0.0)
+        gww = gw * w
+        pin, _ = _scan_cumsum(gww, kmod)
+        s_g2 = jnp.concatenate(
+            [pin[:, KB - 1:KB], pin[:, 2 * KB - 1:2 * KB]], axis=1)
+        s_g_e = _sel_half(lanehalf, s_g2[:, 0:1], s_g2[:, 1:2])
+        sfx_e = _sel_half(lanehalf, sfx2[:, 0:1], sfx2[:, 1:2])
+        suffix = sfx_e + (s_g_e - pin)
+        gtt_e = _sel_half(lanehalf, gtt2[:, 0:1], gtt2[:, 1:2])
+        inv_om = 1.0 / om
+        incf = inc.astype(jnp.float32)
+        g_alpha = gw * tb * incf - (suffix + gtt_e * incf) * inv_om
+        g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
+        m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
+        mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
+        ux, uy = mm_x, mm_y
+        sdx = ux * m1 - mx
+        sdy = uy * m1 - my
+        sdxx = ux * ux * m1 - 2.0 * ux * mx + mxx
+        sdyy = uy * uy * m1 - 2.0 * uy * my + myy
+        sdxy = ux * uy * m1 - ux * my - uy * mx + mxy
+        g_ca = -0.5 * sdxx
+        g_cb = -sdxy
+        g_cc = -0.5 * sdyy
+        g_mux = -(ca * sdx + cb * sdy)
+        g_muy = -(cc * sdy + cb * sdx)
+        g_opa = jnp.where(jnp.abs(opa) > 1e-12, m1 / opa, 0.0)
+        g_rgbA = jax.lax.dot_general(
+            g_imgA, w[:, :KB], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_rgbB = jax.lax.dot_general(
+            g_imgB, w[:, KB:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_dptA = jax.lax.dot_general(
+            g_depA, w[:, :KB], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_dptB = jax.lax.dot_general(
+            g_depB, w[:, KB:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_rgb = jnp.concatenate([g_rgbA, g_rgbB], axis=1)
+        g_dpt = jnp.concatenate([g_dptA, g_dptB], axis=1)
+        g_blk = jnp.concatenate(
+            [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
+             jnp.zeros((_REC - 10, 2 * KB), jnp.float32)], axis=0)
+        # stale-buffer NaNs reach g_mux/g_muy through ca/ux even where the
+        # moments are zero — zero every non-live lane explicitly
+        g_blk = jnp.where(live, g_blk, 0.0)
+        return g_blk, lcarry2 - s_lo2, sfx2 + s_g2
+
+    def bodyB(i, c):
+        lcarry2, sfx2, wcntA, wcntB = c
+        b = nb - 1 - i
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when((b < beffA) & (b >= 1))
+        def _():
+            dma_r(1 - slot, 0, b - 1).start()
+
+        @pl.when((b < beffB) & (b >= 1))
+        def _():
+            dma_r(1 - slot, 1, b - 1).start()
+
+        def compute(lcarry2, sfx2):
+            @pl.when(b < beffA)
+            def _():
+                dma_r(slot, 0, b).wait()
+
+            @pl.when(b < beffB)
+            def _():
+                dma_r(slot, 1, b).wait()
+
+            blk = jnp.concatenate([rbuf[slot, 0], rbuf[slot, 1]], axis=1)
+            return grad_block(b, lcarry2, sfx2, blk, rbuf[slot, 0],
+                              rbuf[slot, 1])
+
+        def zero(lcarry2, sfx2):
+            return (jnp.zeros((_REC, 2 * KB), jnp.float32), lcarry2, sfx2)
+
+        g_blk, lcarry2, sfx2 = jax.lax.cond(
+            (b < beffA) | (b < beffB), compute, zero, lcarry2, sfx2)
+
+        new_cnt = []
+        for half, nbh, wcnt in ((0, nbA, wcntA), (1, nbB, wcntB)):
+            g_half = g_blk[:, half * KB:(half + 1) * KB]
+            is_first = b == 0
+            is_last = b == nbh - 1
+            in_range = b < nbh
+
+            @pl.when(in_range & is_first)
+            def _():
+                edge_ref[half, 0] = g_half
+
+            @pl.when(in_range & is_last & jnp.logical_not(is_first))
+            def _():
+                edge_ref[half, 1] = g_half
+
+            interior = in_range & jnp.logical_not(is_first | is_last)
+
+            @pl.when(interior)
+            def _():
+                wslot = jax.lax.rem(wcnt, 2)
+
+                @pl.when(wcnt >= 2)
+                def _():
+                    dma_w(wslot, half, nbh - wcnt).wait()
+
+                wbuf[wslot, half] = g_half
+                dma_w(wslot, half, b).start()
+
+            new_cnt.append(wcnt + interior.astype(jnp.int32))
+
+        return (lcarry2, sfx2, new_cnt[0], new_cnt[1])
+
+    _, _, wcntA, wcntB = jax.lax.fori_loop(
+        0, nb, bodyB,
+        (log_tend2, jnp.zeros((P, 2), jnp.float32), jnp.int32(0),
+         jnp.int32(0)))
+
+    for half, nbh, wcnt in ((0, nbA, wcntA), (1, nbB, wcntB)):
+        @pl.when(wcnt >= 2)
+        def _():
+            dma_w(jax.lax.rem(wcnt, 2), half, nbh - wcnt).wait()
+
+        @pl.when(wcnt >= 1)
+        def _():
+            dma_w(jax.lax.rem(wcnt - 1, 2), half, nbh - 1 - wcnt).wait()
+
+
+def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret,
+                pair=False):
+    if pair:
+        assert num_tiles % 2 == 0
+        return pl.pallas_call(
+            _fwd_kernel_pair,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_tiles // 2,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
+                                pltpu.SemaphoreType.DMA((2, 2))]),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
+            interpret=interpret,
+        )(starts, ox, oy, slab_blocks)
     return pl.pallas_call(
         _fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -366,8 +778,33 @@ def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
 
 
 def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
-                interpret):
+                interpret, pair=False):
     mb = slab_blocks.shape[0]
+    if pair:
+        assert num_tiles % 2 == 0
+        return pl.pallas_call(
+            _bwd_kernel_pair,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(num_tiles // 2,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                           pl.BlockSpec((2, 2, _REC, KB),
+                                        lambda t, *_: (t, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)],
+                scratch_shapes=[pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
+                                pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
+                                pltpu.SemaphoreType.DMA((2, 2)),
+                                pltpu.SemaphoreType.DMA((2, 2))]),
+            out_shape=[jax.ShapeDtypeStruct((mb, _REC, KB), jnp.float32),
+                       jax.ShapeDtypeStruct((num_tiles, 2, _REC, KB),
+                                            jnp.float32)],
+            interpret=interpret,
+        )(starts, ox, oy, slab_blocks, g, out)
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -400,28 +837,29 @@ def _make_blocks(rec_pad, rank_pad):
     return slab.reshape(mb, KB, _REC).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _core(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts, ox, oy,
-          num_tiles, interpret):
-    out, _ = _core_fwd(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts,
-                       ox, oy, num_tiles, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _core(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
+          interpret, pair):
+    out, _ = _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy,
+                       num_tiles, interpret, pair)
     return out
 
 
-def _core_fwd(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi, starts, ox, oy,
-              num_tiles, interpret):
+def _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
+              interpret, pair):
     slab_blocks = _make_blocks(rec_pad, rank_pad)
     out = _fwd_pallas(slab_blocks, starts, ox, oy, num_tiles=num_tiles,
-                      interpret=interpret)
-    return out, (slab_blocks, perm_pad, dup_lo, dup_hi, starts, ox, oy, out,
+                      interpret=interpret, pair=pair)
+    return out, (slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out,
                  rec_pad.shape[0])
 
 
-def _core_bwd(num_tiles, interpret, res, g):
-    slab_blocks, perm_pad, dup_lo, dup_hi, starts, ox, oy, out, n1 = res
+def _core_bwd(num_tiles, interpret, pair, res, g):
+    slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
     g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
-                                 num_tiles=num_tiles, interpret=interpret)
+                                 num_tiles=num_tiles, interpret=interpret,
+                                 pair=pair)
 
     # mask: main blocks are valid only if strictly interior to their tile
     # (kernel routed each tile's first/last block to the edge stream)
@@ -449,25 +887,27 @@ def _core_bwd(num_tiles, interpret, res, g):
     g_all = g_all.at[e_blk].add(e_rows)
 
     # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
-    # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): permute
-    # the grad rows into DEPTH-DUP order (where each rank's duplicates are
-    # contiguous) via gather through the inverted binning permutation, then
-    # one cumsum + segment-boundary difference. Costs one small sort + one
-    # M-row gather + one (M,16) cumsum ≈ 2 ms.
+    # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): stably
+    # sort (rank, iota) so gradient rows group into contiguous per-rank
+    # segments, gather the rows through that permutation, then one cumsum +
+    # segment-boundary difference. rank_pad's sentinel n1-1 rows
+    # (padding/culled entries, all-zero gradients) sort last.
     g_flat = g_all.transpose(0, 2, 1).reshape(mb * KB, _REC)
     mpad = mb * KB
     iota = jnp.arange(mpad, dtype=jnp.int32)
-    _, invperm = jax.lax.sort((perm_pad, iota), num_keys=1)
-    g_dd = g_flat[invperm]                                    # depth-dup order
+    _, invperm = jax.lax.sort((rank_pad, iota), num_keys=1)
+    g_dd = g_flat[invperm]                                    # rank-grouped
     cs = jnp.cumsum(g_dd, axis=0)
     csz = jnp.concatenate([jnp.zeros((1, _REC), jnp.float32), cs], axis=0)
-    d_rec = csz[jnp.minimum(dup_hi, mpad)] - csz[jnp.minimum(dup_lo, mpad)]
-    d_rec = jnp.concatenate(
-        [d_rec, jnp.zeros((1, _REC), jnp.float32)], axis=0)   # pad row N
+    # rank_bounds (from binning) already holds each rank's segment start in
+    # the grouped order; sentinel rank n1-1 occupies [total_surv, mpad)
+    bounds = jnp.concatenate(
+        [rank_bounds, jnp.full((1,), mpad, jnp.int32)])       # (n1+1,)
+    d_rec = csz[bounds[1:]] - csz[bounds[:-1]]                # (n1, 16)
 
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (d_rec, zero_i(perm_pad), zero_i(perm_pad), zero_i(dup_lo),
-            zero_i(dup_hi), zero_i(starts), zero_i(ox), zero_i(oy))
+    return (d_rec, zero_i(rank_pad), zero_i(rank_bounds), zero_i(starts),
+            zero_i(ox), zero_i(oy))
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -475,7 +915,7 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
-                              "interpret"))
+                              "interpret", "pair"))
 def blend_records_pallas(
     records: jax.Array,          # (N, 16) packed, ORIGINAL gaussian order
     bins: RecordBins,
@@ -487,6 +927,7 @@ def blend_records_pallas(
     height: int,
     interpret: bool = False,
     tile_y0: jax.Array | int = 0,
+    pair: bool = False,
 ):
     """Drop-in replacement for rasterize.blend_records with no tile-capacity
     cap (full per-tile lists are blended, matching the CUDA semantics)."""
@@ -503,22 +944,21 @@ def blend_records_pallas(
     rank_pad = jnp.where(
         marange < total,
         jnp.pad(bins.rank_sorted.astype(jnp.int32), (0, mpad - m)), n)
-    # padding positions keep identity perm values beyond m so the inverse
-    # permutation in the backward stays a true permutation of [0, mpad)
-    perm_pad = jnp.where(
-        marange < m, jnp.pad(bins.perm.astype(jnp.int32), (0, mpad - m)),
-        marange)
-    dup_lo = bins.dup_offsets.astype(jnp.int32)
-    dup_hi = dup_lo + bins.dup_counts.astype(jnp.int32)
 
     # tile_y0 shifts pixel origins for tile-row-sharded strips (the record
     # pixel coordinates are global; parallel/sharded.py passes axis_index)
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    # tile-paired kernels need an even tile count: pad with one empty tile
+    tpad = num_tiles + (num_tiles % 2) if pair else num_tiles
+    tids = jnp.arange(tpad, dtype=jnp.int32)
     ox = (tids % tiles_x) * TILE
     oy = (tids // tiles_x + jnp.asarray(tile_y0, jnp.int32)) * TILE
 
-    out = _core(rec_pad, rank_pad, perm_pad, dup_lo, dup_hi,
-                bins.starts.astype(jnp.int32), ox, oy, num_tiles, interpret)
+    starts_i = bins.starts.astype(jnp.int32)
+    if tpad != num_tiles:
+        starts_i = jnp.concatenate([starts_i, starts_i[-1:]])
+
+    out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
+                starts_i, ox, oy, tpad, interpret, pair)[:num_tiles]
     img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
     dep = out[:, :, 3]
     alpha = 1.0 - out[:, :, 4]

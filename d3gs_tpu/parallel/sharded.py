@@ -83,7 +83,8 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
             img, dep, alp = blend_records_pallas(
                 pack_records(splats), rbins, bg, tiles_x=tiles_x,
                 tiles_y=tiles_y_local, width=width, height=strip_h,
-                interpret=jax.default_backend() != "tpu", tile_y0=ty0)
+                interpret=jax.default_backend() != "tpu", tile_y0=ty0,
+                pair=pipe_cfg.pair_tiles)
             return img, dep, alp, radii_l, rbins.counts
         if binning == "packed":
             rbins = bin_splats_records(

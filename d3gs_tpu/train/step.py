@@ -83,6 +83,7 @@ def make_train_step(
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
             tight_cull=pipe_cfg.tight_cull,
+            pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias)
         ll1 = l1_loss(out.image, camera.image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
@@ -168,6 +169,7 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
                       tight_cull=pipe_cfg.tight_cull,
+                      pair_tiles=pipe_cfg.pair_tiles,
                       antialias=pipe_cfg.antialias)
 
     def eval_render(state, deform_state, camera, bg):

@@ -71,6 +71,13 @@ class PipelineParams:
     pair_tiles: bool = False        # pallas blend: 2 tiles per grid step
                                 # (no gain at 625 tiles/400px; retained for
                                 # the fused multi-camera path)
+    fused_cameras: bool = False     # flagship k-camera step: one global
+                                # (cam, tile, depth) sort + one blend over
+                                # k*T tiles instead of a lax.map render
+                                # loop. Measured SLOWER on one chip (33 vs
+                                # 21 ms/cam at k=10: monolithic k*M sorts
+                                # and batched gathers scale superlinearly
+                                # in XLA), so the scan loop is the default
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single

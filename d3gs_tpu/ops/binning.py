@@ -308,6 +308,118 @@ def bin_splats_records(
                       order=order, rank_bounds=rank_bounds)
 
 
+def bin_splats_records_multi(
+    splats: ProjectedSplats,     # every field with a leading (k,) camera axis
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    dup_capacity_per_cam: int = 0,
+) -> RecordBins:
+    """Fused k-camera binning: ONE (camera, tile, depth)-keyed sort over all
+    cameras' duplicate streams. The flagship trainer renders k cameras per
+    iteration (reference train.py:224-251); running the renderer under
+    lax.map pays every fixed cost (sorts, scans, kernel ramp-up) k times.
+    Here the global tile id cam*T + local_tile goes into the sort key, so
+    the pallas blend sees one grid of k*T tiles and every M-proportional op
+    runs once at k*M scale.
+
+    Output conventions (consumed by blend_records_pallas_multi):
+      rank_sorted  holds GLOBAL record rows cam*(N+1) + depth_rank,
+      starts/counts cover k*T global tiles,
+      rank_bounds has k*(N+1)+1 entries (camera-major rank segments),
+      order is (k, N) per-camera depth order.
+    """
+    k, n = splats.depths.shape
+    num_tiles = tiles_x * tiles_y
+    if dup_capacity_per_cam <= 0:
+        dup_capacity_per_cam = 16 * n
+    mc = dup_capacity_per_cam
+    shift = max(int(n).bit_length(), 1)
+    assert (k * num_tiles + 1) << shift < 2 ** 31, \
+        "cam/tile/rank key exceeds int32; reduce cameras, tiles or capacity"
+
+    bw_u = (splats.tile_max[..., 0] - splats.tile_min[..., 0]) \
+        .astype(jnp.int32)
+    bh_u = jnp.maximum(splats.tile_max[..., 1] - splats.tile_min[..., 1],
+                       0).astype(jnp.int32)
+    cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)         # (k, N)
+    depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
+    order = jnp.argsort(depth_key, axis=1)                    # (k, N)
+
+    bw1 = jnp.maximum(bw_u, 1)
+    cols = jnp.stack([
+        splats.tile_min[..., 0].astype(jnp.float32),
+        splats.tile_min[..., 1].astype(jnp.float32),
+        bw1.astype(jnp.float32),
+        cnt_u.astype(jnp.float32),
+        1.0 / bw1.astype(jnp.float32)], axis=-1)              # (k, N, 5)
+    tab = jnp.take_along_axis(cols, order[..., None], axis=1)
+    cnt = tab[..., 3].astype(jnp.int32)                       # (k, N)
+    offsets = jnp.cumsum(cnt, axis=1) - cnt
+    total_c = offsets[:, -1] + cnt[:, -1]                     # (k,)
+
+    # per-camera ragged expand, all arrays kept (k, mc)-shaped so the mark
+    # cumsum resets naturally at camera boundaries
+    ml = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    camn = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
+    flat_tgt = jnp.where(cnt > 0, camn * mc + offsets, k * mc)
+    marks = jnp.zeros(k * mc, jnp.int32).at[flat_tgt.reshape(-1)].add(
+        1, mode="drop").reshape(k, mc)
+    src = jnp.cumsum(marks, axis=1) - 1                       # (k, mc)
+    valid = (ml < total_c[:, None]) & (src >= 0)
+    src = jnp.clip(src, 0, n - 1)
+    row_tab = jnp.concatenate(
+        [offsets.astype(jnp.float32)[..., None], tab[..., :3],
+         tab[..., 4:5]], axis=-1)                             # (k, N, 5)
+    row = jnp.take_along_axis(row_tab, src[..., None], axis=1)  # (k, mc, 5)
+    j = ml - row[..., 0].astype(jnp.int32)
+    w_src = row[..., 3].astype(jnp.int32)
+    q = jnp.floor(j.astype(jnp.float32) * row[..., 4]).astype(jnp.int32)
+    r = j - q * w_src
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
+    r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
+    tx = row[..., 1].astype(jnp.int32) + r
+    ty = row[..., 2].astype(jnp.int32) + q
+    cam = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 0)
+    gtile = cam * num_tiles + ty * tiles_x + tx               # (k, mc)
+
+    big = (k * num_tiles) << shift
+    key = jnp.where(valid, (gtile << shift) | src, big)
+    key_sorted = jnp.sort(key.reshape(-1))                    # ONE k*mc sort
+    rank_local = key_sorted & ((1 << shift) - 1)
+    gtile_of = key_sorted >> shift
+    # camera of each sorted entry: gtile // T via exact f32 reciprocal
+    # (gtile <= k*T ~ few thousand, exact in f32; +/-1 corrected below)
+    camg = jnp.floor(gtile_of.astype(jnp.float32)
+                     * jnp.float32(1.0 / num_tiles)).astype(jnp.int32)
+    rloc = gtile_of - camg * num_tiles
+    camg = jnp.where(rloc < 0, camg - 1,
+                     jnp.where(rloc >= num_tiles, camg + 1, camg))
+    # sentinel entries (gtile == k*T, rank 0) map to global row k*(N+1) —
+    # exactly the shared zero pad row the blend appends
+    rank_global = camg * (n + 1) + rank_local
+
+    starts = jnp.searchsorted(
+        key_sorted, jnp.arange(k * num_tiles + 1) << shift,
+        side="left").astype(jnp.int32)
+    counts = jnp.diff(starts)
+
+    vcs = jnp.cumsum(valid.astype(jnp.int32), axis=1)         # (k, mc)
+    vcsz = jnp.concatenate(
+        [jnp.zeros((k, 1), jnp.int32), vcs], axis=1)          # (k, mc+1)
+    lo = jnp.clip(offsets, 0, mc)
+    hi = jnp.clip(offsets + cnt, 0, mc)
+    cnt_surv = jnp.take_along_axis(vcsz, hi, axis=1) \
+        - jnp.take_along_axis(vcsz, lo, axis=1)               # (k, N)
+    cnt_all = jnp.concatenate(
+        [cnt_surv, jnp.zeros((k, 1), jnp.int32)], axis=1).reshape(-1)
+    rank_bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(cnt_all)]).astype(jnp.int32)              # (k*(N+1)+1,)
+    return RecordBins(rank_sorted=rank_global, starts=starts, counts=counts,
+                      order=order, rank_bounds=rank_bounds)
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "capacity",
                                               "chunk"))
 def bin_splats(

@@ -11,9 +11,10 @@ gaussian freezing via `base_model_path`, and the standard densify cadence.
 
 TPU re-design notes:
   * the k-camera loop (train.py:224-251, sequential renders) becomes a
-    `jax.vmap` over the stacked camera pytree — all k renders batch through
-    the same kernels, so the MXU sees k× larger matmuls instead of k
-    kernel launches;
+    `lax.map` over the stacked camera pytree inside ONE jitted step — one
+    compile, one dispatch per iteration. (Both a vmap-batched render and a
+    fully fused k-camera sort+blend were built and measured SLOWER on a
+    single chip — see PipelineParams.fused_cameras;)
   * `max_batch_gaussians` micro-batching (train.py:165-198, an OOM
     workaround) is unnecessary: fixed-capacity buffers + checkpointed
     blending bound memory already, and the flag is accepted but ignored;
@@ -70,6 +71,26 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
     lambda_dssim = opt_cfg.lambda_dssim
     direct = opt_cfg.direct_compute and field.spec.kind in (
         "ode", "simple", "simple_start")
+    # fused path (opt-in): one global (cam, tile, depth) sort + one pallas
+    # blend over k*T tiles (renderer.render_multi). Measured slower than the
+    # scan loop on a single chip (33 vs 21 ms/cam at k=10) — every M-scale
+    # op is linear in k anyway and XLA's monolithic k*M sorts/batched
+    # gathers scale superlinearly — so the default stays lax.map.
+    fused = getattr(pipe_cfg, "fused_cameras", False) and \
+        pipe_cfg.binning in ("auto", "pallas")
+
+    def render_all_fused(st, cams, dxs, drs, dss, tap, bg):
+        from ..models.renderer import render_multi
+        out = render_multi(
+            st, cams, d_xyz=dxs, d_rotation=drs, d_scaling=dss,
+            is_6dof=model_cfg.is_6dof,
+            direct_compute=direct and use_deform,
+            bg=bg, means2d_tap=tap, dup_capacity=pipe_cfg.dup_capacity,
+            pair_tiles=pipe_cfg.pair_tiles)
+        ll1s = jnp.mean(jnp.abs(out.image - cams.image), axis=(1, 2, 3))
+        ssims = jax.vmap(ssim)(out.image, cams.image)
+        losses = (1 - lambda_dssim) * ll1s + lambda_dssim * (1 - ssims)
+        return losses, ll1s, out.radii, jnp.max(out.counts)
 
     def render_one(st, cam, dx, dr, ds, tap, bg):
         out = render(
@@ -105,16 +126,24 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
                 dxs = jnp.zeros((k, 1, 1))
                 drs = dss = jnp.zeros((k, 1, 1))
 
+            if fused:
+                losses, ll1s, radii, ovf = render_all_fused(
+                    st, cams,
+                    dxs if use_deform else 0.0,
+                    drs if use_deform else 0.0,
+                    dss if use_deform else 0.0, tap, bg)
+                return jnp.mean(losses), (jnp.mean(ll1s),
+                                          jnp.max(radii, axis=0),
+                                          ovf)
+
             def per_cam(cam, dx, dr, ds):
                 if use_deform:
                     return render_one(st, cam, dx, dr, ds, tap, bg)
                 return render_one(st, cam, 0.0, 0.0, 0.0, tap, bg)
 
-            # lax.map (scan), NOT vmap: batching the pallas blend + the
-            # binning sorts across cameras measured ~2x slower per camera
-            # than running them sequentially (36 vs 19 ms/camera at k=10);
-            # the TPU core is serial anyway, and scan keeps each camera's
-            # working set VMEM-sized
+            # non-fused fallback: lax.map (scan), NOT vmap — batching the
+            # pallas blend + binning sorts across cameras via vmap measured
+            # ~2x slower per camera than running them sequentially
             losses, ll1s, radii, ovf = jax.lax.map(
                 lambda args: per_cam(*args), (cams, dxs, drs, dss))
             return jnp.mean(losses), (jnp.mean(ll1s),

@@ -199,3 +199,109 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
                                                radii=radii)
 
     return step
+
+
+def make_flagship_camera_parallel_step(
+        mesh: Mesh, *, opt_cfg, pipe_cfg, model_cfg, field,
+        use_deform: bool = True, update_gaussians: bool = True,
+        update_deform: bool = True, axis: str = AXIS):
+    """Camera-axis data parallelism for the flagship k-camera step: params
+    (Gaussians + deform MLP) replicated, the camera batch sharded over the
+    mesh, each device rendering its k/D cameras with the ordinary
+    single-chip pipeline, losses/gradients combined with one psum per
+    backward. This is the production multi-chip layout for k-camera
+    training: zero communication in the render itself (the k cameras are
+    independent), so scaling efficiency is bounded only by the gradient
+    psum (~the parameter size) per step — unlike the gauss+tile-sharded
+    path above, which all-gathers projected splats every step.
+
+    Cameras per iteration must divide the mesh size. For ODE deformation
+    fields each device anchors its trajectory at its local sub-window's
+    first fid (the solver evaluates the same IVP at a subset of times, so
+    values agree within solver tolerance).
+
+    Returns step(state, deform_state, cams, iteration, key, bg) where every
+    array leaf of `cams` leads with the (global) camera axis.
+    """
+    from ..models.renderer import render
+    from ..ops.losses import l1_loss as _l1
+    lambda_dssim = opt_cfg.lambda_dssim
+    direct = opt_cfg.direct_compute and field.spec.kind in (
+        "ode", "simple", "simple_start")
+    n_dev = mesh.shape[axis]
+
+    def render_one(st, cam, dx, dr, ds, tap, bg):
+        out = render(
+            st, cam, d_xyz=dx, d_rotation=dr, d_scaling=ds,
+            is_6dof=model_cfg.is_6dof, direct_compute=direct and use_deform,
+            bg=bg, means2d_tap=tap,
+            tile_capacity=pipe_cfg.tile_capacity,
+            tile_chunk=pipe_cfg.tile_chunk,
+            bin_chunk=pipe_cfg.bin_chunk,
+            binning=pipe_cfg.binning,
+            dup_capacity=pipe_cfg.dup_capacity,
+            pair_tiles=pipe_cfg.pair_tiles,
+            antialias=pipe_cfg.antialias)
+        ll1 = _l1(out.image, cam.image)
+        loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
+            1 - ssim(out.image, cam.image))
+        return loss, ll1, out.radii, jnp.max(out.counts)
+
+    def local_loss(g_params, d_params, tap, state, cams_l, bg):
+        st = state.replace(params=g_params)
+        k_local = cams_l.fid.shape[0]
+        if use_deform:
+            xyz = jax.lax.stop_gradient(g_params.xyz)
+            dxs, drs, dss = field.step_multi(d_params, xyz,
+                                             jnp.sort(cams_l.fid), y0=xyz)
+        else:
+            dxs = jnp.zeros((k_local, 1, 1))
+            drs = dss = jnp.zeros((k_local, 1, 1))
+
+        def per_cam(args):
+            cam, dx, dr, ds = args
+            if use_deform:
+                return render_one(st, cam, dx, dr, ds, tap, bg)
+            return render_one(st, cam, 0.0, 0.0, 0.0, tap, bg)
+
+        losses, ll1s, radii, ovf = jax.lax.map(
+            per_cam, (cams_l, dxs, drs, dss))
+        k_total = k_local * n_dev
+        loss = jax.lax.psum(jnp.sum(losses), axis) / k_total
+        ll1 = jax.lax.psum(jnp.sum(ll1s), axis) / k_total
+        radii_max = jax.lax.pmax(jnp.max(radii, axis=0), axis)   # (N,)
+        ovf_max = jax.lax.pmax(jnp.max(ovf), axis)
+        return loss, ll1, radii_max, ovf_max
+
+    smap = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: G.GaussianState, deform_state, cams: Camera,
+             iteration, key, bg):
+        tap0 = jnp.zeros((state.capacity, 2))
+        d_params = deform_state.params if deform_state is not None else None
+
+        def loss_fn(gp, dp, tap):
+            loss, ll1, radii, ovf = smap(gp, dp, tap, state, cams, bg)
+            return loss, (ll1, radii, ovf)
+
+        (loss, (ll1, radii, ovf)), (g_grads, d_grads, tap_grad) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, d_params, tap0)
+        if update_gaussians and not opt_cfg.freeze_gaussians:
+            lrs = G.group_learning_rates(opt_cfg, iteration,
+                                         state.spatial_lr_scale)
+            new_params, new_opt = G.adam_step(state.params, g_grads,
+                                              state.opt, lrs,
+                                              mask=state.alive)
+            state = state.replace(params=new_params, opt=new_opt)
+            state = G.add_densification_stats(state, tap_grad, radii)
+        if update_deform and use_deform and deform_state is not None:
+            deform_state = field.update(deform_state, d_grads, iteration)
+        return state, deform_state, loss, ll1, ovf
+
+    return step

@@ -203,6 +203,7 @@ class IterativeSchedule:
 def train_flagship(
     *,
     gaussians: G.GaussianState,
+    mesh=None,
     train_cams: list[Camera],
     test_cams: list[Camera],
     cameras_extent: float,
@@ -222,6 +223,7 @@ def train_flagship(
 ) -> TrainResult:
     rng = Random(seed)
     key = jax.random.PRNGKey(seed)
+    n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
 
     if field is None:
         spec = pick_field_spec(model_cfg, opt_cfg)
@@ -236,10 +238,21 @@ def train_flagship(
     def get_step(use_deform, upd_g, upd_d):
         keyt = (use_deform, upd_g, upd_d)
         if keyt not in steps:
-            steps[keyt] = make_batched_step(
-                opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
-                field=field, update_gaussians=upd_g, update_deform=upd_d,
-                use_deform=use_deform)
+            if mesh is not None:
+                # camera-axis data parallelism: params replicated, camera
+                # batch sharded, one grad psum per step (parallel/sharded.py)
+                from ..parallel.sharded import \
+                    make_flagship_camera_parallel_step
+                steps[keyt] = make_flagship_camera_parallel_step(
+                    mesh, opt_cfg=opt_cfg, pipe_cfg=pipe_cfg,
+                    model_cfg=model_cfg, field=field,
+                    use_deform=use_deform, update_gaussians=upd_g,
+                    update_deform=upd_d)
+            else:
+                steps[keyt] = make_batched_step(
+                    opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+                    field=field, update_gaussians=upd_g, update_deform=upd_d,
+                    use_deform=use_deform)
         return steps[keyt]
 
     def eval_deform_fn(d_params, xyz, fid, iteration, key_):
@@ -259,6 +272,10 @@ def train_flagship(
         max_switches=opt_cfg.max_training_switches)
 
     state = gaussians
+    if mesh is not None:
+        from ..parallel.mesh import replicate as _replicate
+        state = _replicate(state, mesh)
+        deform_state = _replicate(deform_state, mesh)
     result = TrainResult(state=state, deform_state=deform_state)
     stack: list[Camera] = []
     densify_allowed = not base_model_frozen
@@ -280,6 +297,11 @@ def train_flagship(
         n_pick = max(1, min(k_cams, len(stack)))
         picked = [stack.pop(rng.randint(0, len(stack) - 1))
                   for _ in range(n_pick)]
+        # camera-parallel mesh: the batch shards over devices, so pad to a
+        # multiple of the mesh size by repeating cameras (their loss terms
+        # double-weight slightly on ragged final batches)
+        while mesh is not None and len(picked) % n_dev != 0:
+            picked.append(picked[rng.randint(0, len(picked) - 1)])
         picked.sort(key=lambda c: float(c.fid))
         cam_batch = stack_cameras(picked)
 

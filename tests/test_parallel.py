@@ -123,3 +123,66 @@ def test_sharded_train_step_runs_and_reduces_loss(mesh):
         losses.append(float(aux.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_camera_parallel_flagship_step_matches_single(mesh):
+    """Camera-axis data parallelism: the sharded k-camera step must produce
+    the same loss and updated parameters as the single-device flagship
+    step on the same camera batch."""
+    from d3gs_tpu.data.cameras import stack_cameras
+    from d3gs_tpu.parallel.sharded import make_flagship_camera_parallel_step
+    from d3gs_tpu.train.flagship import make_batched_step
+
+    cap = 512
+    gt = gt_state(n=150, cap=cap)
+    bg = jnp.zeros(3)
+    cams = []
+    for k in range(8):
+        cam = make_camera(angle=k * math.pi / 4, width=64, height=64)
+        out = render(gt, cam, bg=bg, tile_capacity=256, tile_chunk=8)
+        cams.append(dataclasses.replace(
+            cam, image=out.image, fid=jnp.asarray(k / 7.0, jnp.float32)))
+    batch = stack_cameras(cams)
+
+    rng = np.random.default_rng(1)
+    pts = np.asarray(gt.params.xyz[:150]) + \
+        rng.normal(scale=0.04, size=(150, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(150, 3)).astype(np.float32)
+    st0 = G.create_from_pcd(pts, cols, sh_degree=1, capacity=cap,
+                            spatial_lr_scale=4.0)
+
+    spec = DeformFieldSpec(kind="baseline", is_blender=True, D=2, W=32)
+    dstate0, field = create_deform_field(spec, jax.random.PRNGKey(0))
+
+    model_cfg = ModelParams(is_blender=True)
+    opt_cfg = OptimizationParams(position_lr_max_steps=100,
+                                 num_cams_per_iter=8)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=8)
+
+    single = make_batched_step(
+        opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, update_gaussians=True, update_deform=True,
+        use_deform=True)
+    key = jax.random.PRNGKey(0)
+    s_st, s_dst, s_loss, s_ll1, _ = single(
+        st0, dstate0, batch, jnp.asarray(5.0), key, bg)
+
+    st_r = replicate(st0, mesh)
+    dst_r = replicate(dstate0, mesh)
+    par = make_flagship_camera_parallel_step(
+        mesh, opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, use_deform=True)
+    p_st, p_dst, p_loss, p_ll1, _ = par(
+        st_r, dst_r, batch, jnp.asarray(5.0), key, bg)
+
+    np.testing.assert_allclose(float(p_loss), float(s_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(p_ll1), float(s_ll1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_st.params.xyz),
+                               np.asarray(s_st.params.xyz),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(p_st.params.opacity),
+                               np.asarray(s_st.params.opacity), atol=2e-6)
+    # deform MLP grads psum across devices must match the single-step grads
+    for a, b in zip(jax.tree.leaves(p_dst.params),
+                    jax.tree.leaves(s_dst.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)

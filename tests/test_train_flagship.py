@@ -74,3 +74,31 @@ def test_flagship_ode_training_runs():
     losses = [l for _, l in result.losses]
     assert np.isfinite(losses).all()
     assert result.best_psnr > 0
+
+
+def test_flagship_camera_parallel_training():
+    """Full flagship host loop over an 8-device CPU mesh (camera-axis data
+    parallelism): losses finite+decreasing through warm-up, deform phase,
+    and densification."""
+    import jax
+    from d3gs_tpu.parallel.mesh import make_mesh
+
+    cap = 512
+    gt, cams = make_dynamic_dataset(cap=cap)
+    st = _fresh_model(gt, cap)
+    mesh = make_mesh(jax.devices()[:4])
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=30, warm_up=10, sequence_length=8, num_cams_per_iter=4,
+        densify_from_iter=12, densify_until_iter=28,
+        densification_interval=8, opacity_reset_interval=10_000,
+        position_lr_max_steps=30, deform_lr_max_steps=30)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=16)
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:2],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(30,), progress=False,
+        log_every=5, mesh=mesh)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -102,12 +102,27 @@ def main(argv=None):
         model_path=model_cfg.model_path, seed=args.seed,
         tb_writer=tb_writer, progress=not args.quiet)
 
+    mesh = None
+    if pipe_cfg.mesh_shape:
+        import jax
+        from d3gs_tpu.parallel.mesh import make_mesh
+        n = 1
+        for part in pipe_cfg.mesh_shape.lower().split("x"):
+            n *= int(part)
+        assert len(jax.devices()) >= n, \
+            f"--mesh_shape {pipe_cfg.mesh_shape} needs {n} devices"
+        mesh = make_mesh(jax.devices()[:n])
+
     if args.trainer == "baseline":
+        if mesh is not None:
+            print("note: --mesh_shape applies to the flagship trainer; "
+                  "baseline runs single-device")
         from d3gs_tpu.train.baseline import train_baseline
         result = train_baseline(**common)
     else:
         from d3gs_tpu.train.flagship import train_flagship
-        result = train_flagship(base_model_frozen=frozen, **common)
+        result = train_flagship(base_model_frozen=frozen, mesh=mesh,
+                                **common)
 
     print(f"Best PSNR = {result.best_psnr:.2f} "
           f"in Iteration {result.best_iteration}")

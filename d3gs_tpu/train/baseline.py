@@ -127,6 +127,7 @@ def train_baseline(
         from tqdm import tqdm
         it_range = tqdm(it_range, desc="train[baseline]")
 
+    _iter_t0, _iter_last = time.perf_counter(), 0
     for iteration in it_range:
         if iteration % 1000 == 0:
             state = oneup(state)
@@ -178,18 +179,30 @@ def train_baseline(
                                      float(aux.l1), iteration)
                 tb_writer.add_scalar("total_points", int(state.num_alive),
                                      iteration)
+                # reference logs per-iteration wall time as iter_time
+                # (train.py:360); here it amortizes async dispatch between
+                # log points
+                now = time.perf_counter()
+                tb_writer.add_scalar(
+                    "iter_time",
+                    (now - _iter_t0) / max(iteration - _iter_last, 1) * 1e3,
+                    iteration)
+                _iter_t0, _iter_last = now, iteration
             if progress and hasattr(it_range, "set_postfix"):
                 it_range.set_postfix(loss=f"{ema_loss:.4f}",
                                      pts=int(state.num_alive))
 
         if iteration in test_iterations:
             psnrs = []
+            eval_imgs = []
             for tc in (test_cams or train_cams[:5]):
                 out = eval_render(state, deform_state
                                   if iteration >= opt_cfg.warm_up else None,
                                   tc, bg)
                 psnrs.append(float(psnr(jnp.clip(out.image, 0, 1),
                                         tc.image)))
+                if len(eval_imgs) < 5:
+                    eval_imgs.append((tc, out.image))
             mean_psnr = float(np.mean(psnrs))
             result.test_psnrs[iteration] = mean_psnr
             if tb_writer is not None:
@@ -200,6 +213,17 @@ def train_baseline(
                 tb_writer.add_histogram(
                     "scene/opacity_histogram",
                     np.asarray(state.get_opacity)[alive], iteration)
+                # first 5 eval renders (+ gt once), train.py:400-407
+                for vi, (tc, im) in enumerate(eval_imgs[:5]):
+                    tb_writer.add_image(
+                        f"test_view_{vi}/render",
+                        np.clip(np.asarray(im), 0, 1), iteration,
+                        dataformats="HWC")
+                    if iteration == min(test_iterations or {iteration}):
+                        tb_writer.add_image(
+                            f"test_view_{vi}/ground_truth",
+                            np.asarray(tc.image), iteration,
+                            dataformats="HWC")
             if mean_psnr > result.best_psnr:
                 result.best_psnr = mean_psnr
                 result.best_iteration = iteration

@@ -71,6 +71,9 @@ def main(argv=None):
         def add_scalar(self, *a, **k):
             viewer.serve_once(viewer_render, model_cfg.source_path)
 
+        def add_image(self, *a, **k):
+            pass
+
         def add_histogram(self, *a, **k):
             pass
 

@@ -93,10 +93,13 @@ def main():
         init = (state, dstate, jnp.asarray(0.0))
         out = f(init)                       # compile + run
         float(jnp.sum(out[0].params.xyz))   # true sync
-        t0 = time.perf_counter()
-        out = f(init)
-        float(jnp.sum(out[0].params.xyz))
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):                  # best-of-2: tunnel jitter is
+            t0 = time.perf_counter()        # one-sided (delays only)
+            out = f(init)
+            float(jnp.sum(out[0].params.xyz))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t_lo, t_hi = run(3), run(23)
     dt = (t_hi - t_lo) / 20.0

@@ -101,8 +101,8 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
             tile_capacity=pipe_cfg.tile_capacity,
             tile_chunk=pipe_cfg.tile_chunk,
             bin_chunk=pipe_cfg.bin_chunk,
-                      binning=pipe_cfg.binning,
-                      dup_capacity=pipe_cfg.dup_capacity,
+            binning=pipe_cfg.binning,
+            dup_capacity=pipe_cfg.dup_capacity,
             antialias=pipe_cfg.antialias)
         ll1 = l1_loss(out.image, cam.image)
         loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (

@@ -80,8 +80,8 @@ def make_train_step(
             tile_capacity=pipe_cfg.tile_capacity,
             tile_chunk=pipe_cfg.tile_chunk,
             bin_chunk=pipe_cfg.bin_chunk,
-                      binning=pipe_cfg.binning,
-                      dup_capacity=pipe_cfg.dup_capacity,
+            binning=pipe_cfg.binning,
+            dup_capacity=pipe_cfg.dup_capacity,
             tight_cull=pipe_cfg.tight_cull,
             pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias)

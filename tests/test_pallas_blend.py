@@ -195,3 +195,63 @@ def test_pair_odd_tile_count(scene):
     scale = np.abs(np.asarray(gr)).max() + 1e-8
     np.testing.assert_allclose(np.asarray(gp) / scale,
                                np.asarray(gr) / scale, atol=2e-4)
+
+
+def test_dup_budget_overflow_drops_deepest_only():
+    """rank_bounds reduction under duplicate-budget overflow: when
+    dup_capacity < total duplicates, the expansion drops the DEEPEST
+    gaussians' duplicates. With a saturating front stack the dropped
+    records are fully occluded, so outputs and gradients must match the
+    full-budget run (and stay finite)."""
+    n, cap = 64, 128
+    xyz = jnp.stack([jnp.zeros(n), jnp.zeros(n),
+                     jnp.linspace(2.0, 3.0, n)], axis=1)
+    state = G.create_from_pcd(np.asarray(xyz), np.full((n, 3), 0.5),
+                              sh_degree=0, capacity=cap)
+    state = state.replace(params=state.params._replace(
+        opacity=jnp.full((cap, 1), 8.0),
+        scaling=jnp.full((cap, 3), -3.0)))
+    V = world_to_view(np.eye(3), np.array([0, 0, 4.0])).T
+    fov = math.radians(60)
+    Pm = perspective_projection(0.01, 100.0, fov, fov).T
+    tan = math.tan(fov / 2)
+    cov = cov3d_packed(state.get_scaling, state.params.rotation)
+    splats = project_gaussians(
+        state.params.xyz, cov, state.get_opacity[:, 0],
+        jnp.full((cap, 3), 0.7), cam_v := jnp.asarray(V, jnp.float32),
+        jnp.asarray(V @ Pm, jnp.float32), tan, tan, W, H,
+        alive=state.alive)
+    full = bin_splats_records(splats, tiles_x=TX, tiles_y=TY)
+    total = int(full.starts[-1])
+    assert total > 48
+    # overflowed budget: only the shallowest gaussians' duplicates survive
+    small = bin_splats_records(splats, tiles_x=TX, tiles_y=TY,
+                               dup_capacity=48)
+    records = pack_records(splats)
+    bg = jnp.zeros(3)
+
+    # oracle: the XLA packed blend consuming the SAME overflowed bins —
+    # identical surviving duplicates, so outputs and record grads must
+    # match; this pins rank_bounds' surviving-count segments under overflow
+    img_p = blend_records_pallas(records, small, bg, tiles_x=TX,
+                                 tiles_y=TY, width=W, height=H,
+                                 interpret=True)[0]
+    img_r = blend_records(records, small, bg, tiles_x=TX, tiles_y=TY,
+                          width=W, height=H, tile_capacity=128,
+                          tile_chunk=4)[0]
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_r),
+                               atol=5e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda r: jnp.sum(fn(r)[0] ** 2)
+
+    g_p = jax.grad(loss(lambda r: blend_records_pallas(
+        r, small, bg, tiles_x=TX, tiles_y=TY, width=W, height=H,
+        interpret=True)))(records)
+    g_r = jax.grad(loss(lambda r: blend_records(
+        r, small, bg, tiles_x=TX, tiles_y=TY, width=W, height=H,
+        tile_capacity=128, tile_chunk=4)))(records)
+    assert np.isfinite(np.asarray(g_p)).all()
+    scale = np.abs(np.asarray(g_r)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_p) / scale,
+                               np.asarray(g_r) / scale, atol=5e-4)

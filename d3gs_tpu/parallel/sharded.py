@@ -18,12 +18,11 @@ else (MLP, Adam, densify) is plain jit over sharded arrays.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.cameras import Camera
 from ..models import gaussians as G
@@ -224,7 +223,6 @@ def make_flagship_camera_parallel_step(
     array leaf of `cams` leads with the (global) camera axis.
     """
     from ..models.renderer import render
-    from ..ops.losses import l1_loss as _l1
     lambda_dssim = opt_cfg.lambda_dssim
     direct = opt_cfg.direct_compute and field.spec.kind in (
         "ode", "simple", "simple_start")
@@ -242,7 +240,7 @@ def make_flagship_camera_parallel_step(
             dup_capacity=pipe_cfg.dup_capacity,
             pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias)
-        ll1 = _l1(out.image, cam.image)
+        ll1 = l1_loss(out.image, cam.image)
         loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
             1 - ssim(out.image, cam.image))
         return loss, ll1, out.radii, jnp.max(out.counts)

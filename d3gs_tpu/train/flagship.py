@@ -30,9 +30,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from random import Random
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,6 @@
 Bench-scale scene (43k gaussians, 400x400) with k = num_cams_per_iter
 cameras per iteration; reports ms/iter and ms/camera for both paths.
 """
-import dataclasses
 import math
 import sys
 import time
@@ -15,7 +14,7 @@ import numpy as np
 from d3gs_tpu.config import ModelParams, OptimizationParams, PipelineParams
 from d3gs_tpu.data.cameras import Camera, stack_cameras
 from d3gs_tpu.models import gaussians as G
-from d3gs_tpu.models.deform import DeformFieldSpec, create_deform_field
+from d3gs_tpu.models.deform import create_deform_field
 from d3gs_tpu.ops.camera_math import perspective_projection, world_to_view
 from d3gs_tpu.train.flagship import make_batched_step, pick_field_spec
 

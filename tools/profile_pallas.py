@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3gs_tpu.models import gaussians as G
-from d3gs_tpu.data.cameras import Camera
 from d3gs_tpu.ops.camera_math import perspective_projection, world_to_view
 from d3gs_tpu.ops.projection import project_gaussians
 from d3gs_tpu.ops.binning import bin_splats_records

@@ -12,8 +12,6 @@ import json
 import math
 import os
 import re
-import sys
-import time
 
 import jax
 import jax.numpy as jnp

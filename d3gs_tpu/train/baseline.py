@@ -163,6 +163,12 @@ def train_baseline(
                 key, k2 = jax.random.split(key)
                 state = densify(state, k2, size_thresh,
                                 jnp.asarray(cameras_extent))
+                if int(state.num_alive) == 0:
+                    print(f"WARNING: all gaussians pruned at iteration "
+                          f"{iteration} (size/opacity thresholds wiped the "
+                          f"scene — typically a blurry fit at the first "
+                          f"max_screen_size prune; consider a shorter "
+                          f"warm_up or later opacity_reset_interval)")
             if (iteration % opt_cfg.opacity_reset_interval == 0
                     or (model_cfg.white_background
                         and iteration == opt_cfg.densify_from_iter)):
@@ -210,9 +216,10 @@ def train_baseline(
                 # reference training_report logs the opacity histogram +
                 # total point count at eval iterations (train.py:415-419)
                 alive = np.asarray(state.alive)
-                tb_writer.add_histogram(
-                    "scene/opacity_histogram",
-                    np.asarray(state.get_opacity)[alive], iteration)
+                if alive.any():   # histogram of an empty array raises
+                    tb_writer.add_histogram(
+                        "scene/opacity_histogram",
+                        np.asarray(state.get_opacity)[alive], iteration)
                 # first 5 eval renders (+ gt once), train.py:400-407
                 for vi, (tc, im) in enumerate(eval_imgs[:5]):
                     tb_writer.add_image(

@@ -333,6 +333,12 @@ def train_flagship(
                 key, k2 = jax.random.split(key)
                 state = densify(state, k2, size_thresh,
                                 jnp.asarray(cameras_extent))
+                if int(state.num_alive) == 0:
+                    print(f"WARNING: all gaussians pruned at iteration "
+                          f"{iteration} (size/opacity thresholds wiped the "
+                          f"scene — typically a blurry fit at the first "
+                          f"max_screen_size prune; consider a shorter "
+                          f"warm_up or later opacity_reset_interval)")
             if (iteration % opt_cfg.opacity_reset_interval == 0
                     or (model_cfg.white_background
                         and iteration == opt_cfg.densify_from_iter)):
@@ -374,9 +380,10 @@ def train_flagship(
             if tb_writer is not None:
                 tb_writer.add_scalar("test/psnr", mean_psnr, iteration)
                 alive = np.asarray(state.alive)
-                tb_writer.add_histogram(
-                    "scene/opacity_histogram",
-                    np.asarray(state.get_opacity)[alive], iteration)
+                if alive.any():   # histogram of an empty array raises
+                    tb_writer.add_histogram(
+                        "scene/opacity_histogram",
+                        np.asarray(state.get_opacity)[alive], iteration)
                 for vi, (tc, im) in enumerate(eval_imgs):
                     tb_writer.add_image(
                         f"test_view_{vi}/render",

@@ -81,6 +81,12 @@ class PipelineParams:
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single
+    steps_per_dispatch: int = 1     # baseline trainer: run up to this many
+                                # iterations inside ONE on-device fori_loop
+                                # between host events (densify/log/eval) —
+                                # amortizes per-dispatch host latency; the
+                                # trained model is unchanged (per-step RNG
+                                # keys derive differently)
 
 
 @dataclass

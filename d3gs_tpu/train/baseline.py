@@ -112,6 +112,84 @@ def train_baseline(
         opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, is_6dof=model_cfg.is_6dof,
         deform_fn=deform_fn, deform_update_fn=field.update, donate=True,
         extra_loss_fn=extra_loss_fn)
+
+    # --- multi-step dispatch: run n iterations inside ONE jitted fori_loop
+    # between host events. The per-step camera is dynamically indexed from a
+    # stacked batch; per-step keys derive by fold_in. Amortizes host
+    # dispatch latency (tunnel/remote hosts pay ~100ms per dispatch).
+    spd = max(1, int(getattr(pipe_cfg, "steps_per_dispatch", 1)))
+    if extra_loss_fn is not None or aux_data_fn is not None:
+        spd = 1   # SAM-style per-camera host aux data is host-prepared
+
+    def make_chunk(step_fn, n):
+        from .step import StepAux
+
+        @jax.jit
+        def chunk(state, dstate, cam_batch, it0, key_, bg_):
+            aux0 = StepAux(
+                loss=jnp.float32(0), l1=jnp.float32(0),
+                radii=jnp.zeros((state.capacity,), jnp.int32),
+                tile_overflow=jnp.int32(0))
+
+            def body(i, carry):
+                st, dst, _ = carry
+                cam_i = jax.tree.map(lambda x: x[i], cam_batch)
+                return step_fn(st, dst, cam_i,
+                               it0 + i.astype(jnp.float32),
+                               jax.random.fold_in(key_, i), bg_)
+
+            return jax.lax.fori_loop(0, n, body, (state, dstate, aux0))
+
+        return chunk
+
+    _chunks = {}
+
+    def run_chunk(phase_warm, state, dstate, cams, it0, key_, bg_):
+        n = len(cams)
+        from ..data.cameras import stack_cameras
+        ck = (phase_warm, n, state.capacity)
+        if ck not in _chunks:
+            _chunks[ck] = make_chunk(
+                warm_step if phase_warm else deform_step, n)
+        batch = stack_cameras(cams)
+        return _chunks[ck](state, dstate, batch, it0, key_, bg_)
+
+    def _post_event(j):
+        """True if host-side work follows step j (densify/reset/log/eval/
+        save) — a chunk may only END on such an iteration."""
+        if j >= opt_cfg.iterations:
+            return True
+        if j < opt_cfg.densify_until_iter:
+            if (j > opt_cfg.densify_from_iter
+                    and j % opt_cfg.densification_interval == 0):
+                return True
+            if (j % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and j == opt_cfg.densify_from_iter)):
+                return True
+        if j % log_every == 0 or j == 1:
+            return True
+        return j in test_iterations or j in save_iterations
+
+    def chunk_len(i):
+        """Largest n <= spd such that iterations [i, i+n) contain no
+        interior host event: no oneup/phase flip before a step, no
+        densify/log/eval after any but the last."""
+        if spd <= 1:
+            return 1
+        n = 1
+        limit = min(spd, opt_cfg.iterations - i + 1)
+        for n_try in range(2, limit + 1):
+            last = i + n_try - 1
+            if any(jj % 1000 == 0 for jj in range(i + 1, last + 1)):
+                break
+            if (i < opt_cfg.warm_up) != (last < opt_cfg.warm_up):
+                break
+            if any(_post_event(jj) for jj in range(i, last)):
+                break
+            n = n_try
+        return n
+
     eval_render = make_eval_render(pipe_cfg=pipe_cfg,
                                    is_6dof=model_cfg.is_6dof,
                                    deform_fn=deform_fn)
@@ -122,28 +200,50 @@ def train_baseline(
     viewpoint_stack: list[Camera] = []
     ema_loss = 0.0
 
-    it_range = range(1, opt_cfg.iterations + 1)
+    pbar = None
     if progress:
         from tqdm import tqdm
-        it_range = tqdm(it_range, desc="train[baseline]")
+        pbar = tqdm(total=opt_cfg.iterations, desc="train[baseline]")
 
     _iter_t0, _iter_last = time.perf_counter(), 0
-    for iteration in it_range:
+    iteration = 1
+    while iteration <= opt_cfg.iterations:
         if iteration % 1000 == 0:
             state = oneup(state)
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(stack_template)
-        cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
-
-        key, k1 = jax.random.split(key)
-        it = jnp.asarray(iteration, jnp.float32)
-        if iteration < opt_cfg.warm_up:
-            state, _, aux = warm_step(state, None, cam, it, k1, bg)
+        n = chunk_len(iteration)
+        if n > 1:
+            cams = []
+            for _ in range(n):
+                if not viewpoint_stack:
+                    viewpoint_stack = list(stack_template)
+                cams.append(viewpoint_stack.pop(
+                    rng.randint(0, len(viewpoint_stack) - 1)))
+            key, k1 = jax.random.split(key)
+            it0 = jnp.asarray(iteration, jnp.float32)
+            warm = iteration < opt_cfg.warm_up
+            state, dstate_out, aux = run_chunk(
+                warm, state, None if warm else deform_state, cams, it0, k1,
+                bg)
+            if not warm:
+                deform_state = dstate_out
+            iteration += n - 1   # host events run for the LAST iteration
         else:
-            aux_data = aux_data_fn(cam) if aux_data_fn is not None else None
-            state, deform_state, aux = deform_step(state, deform_state, cam,
-                                                   it, k1, bg, aux_data)
+            if not viewpoint_stack:
+                viewpoint_stack = list(stack_template)
+            cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
+
+            key, k1 = jax.random.split(key)
+            it = jnp.asarray(iteration, jnp.float32)
+            if iteration < opt_cfg.warm_up:
+                state, _, aux = warm_step(state, None, cam, it, k1, bg)
+            else:
+                aux_data = aux_data_fn(cam) if aux_data_fn is not None \
+                    else None
+                state, deform_state, aux = deform_step(
+                    state, deform_state, cam, it, k1, bg, aux_data)
+        if pbar is not None:
+            pbar.update(n)
 
         # cadence (densify/reset) — identical to train_baseline.py:163-175
         if iteration < opt_cfg.densify_until_iter:
@@ -194,9 +294,9 @@ def train_baseline(
                     (now - _iter_t0) / max(iteration - _iter_last, 1) * 1e3,
                     iteration)
                 _iter_t0, _iter_last = now, iteration
-            if progress and hasattr(it_range, "set_postfix"):
-                it_range.set_postfix(loss=f"{ema_loss:.4f}",
-                                     pts=int(state.num_alive))
+            if pbar is not None:
+                pbar.set_postfix(loss=f"{ema_loss:.4f}",
+                                 pts=int(state.num_alive))
 
         if iteration in test_iterations:
             psnrs = []
@@ -243,6 +343,10 @@ def train_baseline(
             save_gaussians_ply(os.path.join(pc_dir, "point_cloud.ply"), state)
             save_deform_weights(model_path, iteration, deform_state)
 
+        iteration += 1
+
+    if pbar is not None:
+        pbar.close()
     result.state = state
     result.deform_state = deform_state
     return result

@@ -74,3 +74,43 @@ def test_baseline_training_learns_motion():
     assert result.best_psnr > 0
     # deform optimizer actually stepped after warm-up
     assert int(result.deform_state.count) > 0
+
+
+def test_steps_per_dispatch_bit_identical():
+    """Chunked multi-step dispatch (steps_per_dispatch>1) must reproduce the
+    single-step loop exactly: same cameras in the same order, host events
+    only at chunk boundaries. With is_blender (no AST noise) and no densify
+    randomness the runs are bit-identical."""
+    from d3gs_tpu.config import ModelParams, OptimizationParams, \
+        PipelineParams
+    from d3gs_tpu.train.baseline import train_baseline
+
+    cap = 256
+    gt, cams = make_dynamic_dataset(cap=cap)
+    rng = np.random.default_rng(0)
+    pts = np.asarray(gt.params.xyz[:100]) + \
+        rng.normal(scale=0.03, size=(100, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(100, 3)).astype(np.float32)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=60, warm_up=20, position_lr_max_steps=60,
+        deform_lr_max_steps=60, densify_from_iter=1000, sequence_length=6)
+
+    def run(spd):
+        st = G.create_from_pcd(pts, cols, sh_degree=1, capacity=cap,
+                               spatial_lr_scale=4.0)
+        pipe = PipelineParams(tile_capacity=128, tile_chunk=8,
+                              steps_per_dispatch=spd)
+        return train_baseline(
+            gaussians=st, train_cams=cams, test_cams=cams[:2],
+            cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+            pipe_cfg=pipe, test_iterations=(60,), progress=False,
+            log_every=20)
+
+    r1, r2 = run(1), run(25)
+    assert r1.losses == r2.losses
+    np.testing.assert_array_equal(np.asarray(r1.state.params.xyz),
+                                  np.asarray(r2.state.params.xyz))
+    for a, b in zip(jax.tree.leaves(r1.deform_state.params),
+                    jax.tree.leaves(r2.deform_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -271,6 +271,70 @@ def train_flagship(
         decay=opt_cfg.iterative_update_decay,
         max_switches=opt_cfg.max_training_switches)
 
+    # multi-step dispatch (see train/baseline.py): up to spd iterations in
+    # one jitted fori_loop between host events. The alternating-update
+    # schedule makes per-iteration host decisions, so it forces spd=1.
+    spd = max(1, int(getattr(pipe_cfg, "steps_per_dispatch", 1)))
+    if opt_cfg.use_iterative_update:
+        spd = 1
+
+    _chunks = {}
+
+    def run_chunk(step_fn, skey, state, dstate, batches, it0, key_):
+        n, kk = len(batches), len(batches[0])
+        flat = stack_cameras([c for b in batches for c in b])
+        chunk_cams = jax.tree.map(
+            lambda x: x.reshape((n, kk) + x.shape[1:]), flat)
+        ck = (skey, n, kk, state.capacity)
+        if ck not in _chunks:
+            @jax.jit
+            def chunk(st0, dst0, cams_c, i0, kc, bg_):
+                z = jnp.float32(0)
+
+                def body(i, carry):
+                    st, dst, *_ = carry
+                    cam_i = jax.tree.map(lambda x: x[i], cams_c)
+                    return step_fn(st, dst, cam_i,
+                                   i0 + i.astype(jnp.float32),
+                                   jax.random.fold_in(kc, i), bg_)
+
+                return jax.lax.fori_loop(
+                    0, n, body, (st0, dst0, z, z, jnp.int32(0)))
+
+            _chunks[ck] = chunk
+        return _chunks[ck](state, dstate, chunk_cams, it0, key_, bg)
+
+    def _post_event(j):
+        if j >= opt_cfg.iterations:
+            return True
+        if densify_allowed and j < opt_cfg.densify_until_iter:
+            if (j > opt_cfg.densify_from_iter
+                    and j % opt_cfg.densification_interval == 0):
+                return True
+            if (j % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and j == opt_cfg.densify_from_iter)):
+                return True
+        if j % log_every == 0 or j == 1:
+            return True
+        return j in test_iterations or j in save_iterations
+
+    def chunk_len(i):
+        if spd <= 1:
+            return 1
+        n = 1
+        limit = min(spd, opt_cfg.iterations - i + 1)
+        for n_try in range(2, limit + 1):
+            last = i + n_try - 1
+            if any(jj % 1000 == 0 for jj in range(i + 1, last + 1)):
+                break
+            if (i < opt_cfg.warm_up) != (last < opt_cfg.warm_up):
+                break
+            if any(_post_event(jj) for jj in range(i, last)):
+                break
+            n = n_try
+        return n
+
     state = gaussians
     if mesh is not None:
         from ..parallel.mesh import replicate as _replicate
@@ -280,16 +344,13 @@ def train_flagship(
     stack: list[Camera] = []
     densify_allowed = not base_model_frozen
 
-    it_range = range(1, opt_cfg.iterations + 1)
+    pbar = None
     if progress:
         from tqdm import tqdm
-        it_range = tqdm(it_range, desc="train[flagship]")
+        pbar = tqdm(total=opt_cfg.iterations, desc="train[flagship]")
 
-    _iter_t0, _iter_last = time.perf_counter(), 0
-    for iteration in it_range:
-        if iteration % 1000 == 0:
-            state = oneup(state)
-
+    def pick_batch():
+        nonlocal stack
         if len(stack) < k_cams:
             full = sorted(train_cams, key=lambda c: float(c.fid))
             if opt_cfg.spread_out_sequence:
@@ -304,20 +365,48 @@ def train_flagship(
         while mesh is not None and len(picked) % n_dev != 0:
             picked.append(picked[rng.randint(0, len(picked) - 1)])
         picked.sort(key=lambda c: float(c.fid))
-        cam_batch = stack_cameras(picked)
+        return picked
 
-        key, k1 = jax.random.split(key)
-        it = jnp.asarray(iteration, jnp.float32)
+    _iter_t0, _iter_last = time.perf_counter(), 0
+    iteration = 1
+    while iteration <= opt_cfg.iterations:
+        if iteration % 1000 == 0:
+            state = oneup(state)
+
+        n = chunk_len(iteration)
+        batches = [pick_batch() for _ in range(n)]
         warm = iteration < opt_cfg.warm_up
         if warm:
-            step = get_step(False, True, False)
-            state, _, loss, ll1, ovf = step(state, None, cam_batch, it, k1,
-                                            bg)
+            upd_g, upd_d, use_d = True, False, False
         else:
             upd_g, upd_d = schedule.mode(iteration)
-            step = get_step(True, upd_g, upd_d)
-            state, deform_state, loss, ll1, ovf = step(
-                state, deform_state, cam_batch, it, k1, bg)
+            use_d = True
+        step = get_step(use_d, upd_g, upd_d)
+
+        key, k1 = jax.random.split(key)
+        if n > 1 and len({len(b) for b in batches}) == 1:
+            it0 = jnp.asarray(iteration, jnp.float32)
+            state, dstate_out, loss, ll1, ovf = run_chunk(
+                step, (use_d, upd_g, upd_d), state,
+                None if warm else deform_state, batches, it0, k1)
+            if not warm:
+                deform_state = dstate_out
+        else:
+            # ragged batch sizes (tiny datasets): run the picked batches
+            # one dispatch each — chunk_len guarantees no interior events
+            for bi, b in enumerate(batches):
+                cam_batch = stack_cameras(b)
+                it = jnp.asarray(iteration + bi, jnp.float32)
+                kb = jax.random.fold_in(k1, bi)
+                if warm:
+                    state, _, loss, ll1, ovf = step(state, None, cam_batch,
+                                                    it, kb, bg)
+                else:
+                    state, deform_state, loss, ll1, ovf = step(
+                        state, deform_state, cam_batch, it, kb, bg)
+        iteration += n - 1
+        if pbar is not None:
+            pbar.update(n)
 
         if densify_allowed and iteration < opt_cfg.densify_until_iter:
             if (iteration > opt_cfg.densify_from_iter
@@ -360,9 +449,9 @@ def train_flagship(
                     (now - _iter_t0) / max(iteration - _iter_last, 1) * 1e3,
                     iteration)
                 _iter_t0, _iter_last = now, iteration
-            if progress and hasattr(it_range, "set_postfix"):
-                it_range.set_postfix(loss=f"{lv:.4f}",
-                                     pts=int(state.num_alive))
+            if pbar is not None:
+                pbar.set_postfix(loss=f"{lv:.4f}",
+                                 pts=int(state.num_alive))
 
         if iteration in test_iterations:
             psnrs = []
@@ -407,6 +496,10 @@ def train_flagship(
                                state)
             save_deform_weights(model_path, iteration, deform_state)
 
+        iteration += 1
+
+    if pbar is not None:
+        pbar.close()
     result.state = state
     result.deform_state = deform_state
     return result

@@ -102,3 +102,36 @@ def test_flagship_camera_parallel_training():
     losses = [l for _, l in result.losses]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_flagship_steps_per_dispatch_bit_identical():
+    """Chunked multi-step dispatch must reproduce the single-step flagship
+    loop exactly (is_blender, no densify randomness)."""
+    cap = 256
+    gt, cams = make_dynamic_dataset(cap=cap)
+    st0 = _fresh_model(gt, cap)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=40, warm_up=12, num_cams_per_iter=3, sequence_length=8,
+        densify_from_iter=1000, position_lr_max_steps=40,
+        deform_lr_max_steps=40)
+
+    def run(spd):
+        import jax.numpy as jnp  # noqa: F401
+        st = G.create_from_pcd(
+            np.asarray(st0.params.xyz[:100]),
+            np.asarray(np.clip(st0.params.features_dc[:100, 0] + 0.5,
+                               0, 1)),
+            sh_degree=1, capacity=cap, spatial_lr_scale=4.0)
+        pipe = PipelineParams(tile_capacity=128, tile_chunk=8,
+                              steps_per_dispatch=spd)
+        return train_flagship(
+            gaussians=st, train_cams=cams, test_cams=cams[:2],
+            cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+            pipe_cfg=pipe, test_iterations=(40,), progress=False,
+            log_every=20)
+
+    r1, r2 = run(1), run(20)
+    assert r1.losses == r2.losses
+    np.testing.assert_array_equal(np.asarray(r1.state.params.xyz),
+                                  np.asarray(r2.state.params.xyz))

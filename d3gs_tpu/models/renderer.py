@@ -30,7 +30,7 @@ from ..ops.projection import TILE, project_gaussians
 from ..ops.binning import bin_splats, bin_splats_records, bin_splats_sorted
 from ..ops.rasterize import RenderOutput, blend, blend_records, pack_records
 from ..ops.sh import eval_sh_upto
-from ..ops.transforms import apply_se3, cov3d_packed
+from ..ops.transforms import apply_se3
 from .gaussians import GaussianState
 
 
@@ -73,7 +73,6 @@ def render(
 
     scales = gaussians.get_scaling * scaling_modifier + d_scaling
     rotations = gaussians.get_rotation + d_rotation
-    cov3d = cov3d_packed(scales, rotations, 1.0)
     opacity = gaussians.get_opacity[:, 0]
 
     if override_color is not None:
@@ -95,10 +94,11 @@ def render(
     tiles_y = (height + TILE - 1) // TILE
 
     splats = project_gaussians(
-        means3d, cov3d, opacity, colors,
+        means3d, None, opacity, colors,
         camera.viewmatrix, camera.projmatrix,
         camera.tanfovx, camera.tanfovy, width, height,
-        antialias=antialias, alive=gaussians.alive)
+        antialias=antialias, alive=gaussians.alive,
+        scales=scales, rotations=rotations)
     if means2d_tap is not None:
         splats = splats._replace(means2d=splats.means2d + means2d_tap)
     if binning == "auto":
@@ -190,7 +190,6 @@ def render_multi(
             means3d = p.xyz + dx
         scales = gaussians.get_scaling + ds
         rotations = gaussians.get_rotation + dr
-        cov3d = cov3d_packed(scales, rotations, 1.0)
         opacity = gaussians.get_opacity[:, 0]
         dirs = means3d - campos[None, :]
         dirs = dirs / jnp.maximum(
@@ -200,8 +199,9 @@ def render_multi(
                               gaussians.get_features, dirs)
         colors = jnp.maximum(colors + 0.5, 0.0)
         splats = project_gaussians(
-            means3d, cov3d, opacity, colors, viewmatrix, projmatrix,
-            tanx, tany, width, height, alive=gaussians.alive)
+            means3d, None, opacity, colors, viewmatrix, projmatrix,
+            tanx, tany, width, height, alive=gaussians.alive,
+            scales=scales, rotations=rotations)
         if means2d_tap is not None:
             splats = splats._replace(means2d=splats.means2d + means2d_tap)
         return splats, pack_records(splats)

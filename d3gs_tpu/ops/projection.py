@@ -46,7 +46,7 @@ def ndc_to_pixel(ndc: jax.Array, size: jax.Array | int) -> jax.Array:
 
 def project_gaussians(
     means3d: jax.Array,        # (N, 3)
-    cov3d: jax.Array,          # (N, 6) packed upper-tri
+    cov3d: jax.Array,          # (N, 6) packed upper-tri (or None, see below)
     opacities: jax.Array,      # (N,)
     colors: jax.Array,         # (N, 3) precomputed RGB
     viewmatrix: jax.Array,     # (4, 4) row-vector convention
@@ -58,8 +58,22 @@ def project_gaussians(
     *,
     antialias: bool = False,
     alive: jax.Array | None = None,  # (N,) bool padding mask
+    scales: jax.Array | None = None,      # (N, 3) ACTIVATED scales and
+    rotations: jax.Array | None = None,   # (N, 4) quats: cancellation-free
+    #   EWA path (see below); cov3d may then be None
 ) -> ProjectedSplats:
-    """EWA-project Gaussians to screen space. Static width/height."""
+    """EWA-project Gaussians to screen space. Static width/height.
+
+    When `scales`/`rotations` are given, the 2D covariance is computed from
+    the FACTOR A = T·R·diag(s) (2x3) instead of the packed Σ:
+    a=|A₀|², c=|A₁|², b=A₀·A₁, and by Cauchy-Binet
+        det_raw = Σ_{i<j} (A₀ᵢA₁ⱼ − A₀ⱼA₁ᵢ)²  (sum of squares, ≥ 0)
+        det     = det_raw + 0.3·(a+c) + 0.09   (≥ 0.09 by construction).
+    The classic `a·c − b²` form cancels catastrophically in f32 once cov2d
+    entries reach ~1e6 (high focal × near/inflated splats — routine during
+    the deform warm-up transition at 400px+), and the backward's 1/det²
+    then overflows to NaN. The factored form has no cancelling terms, so
+    det and its gradients stay well-conditioned for ANY splat."""
     n = means3d.shape[0]
     focal_x = width / (2.0 * tanfovx)
     focal_y = height / (2.0 * tanfovy)
@@ -100,21 +114,46 @@ def project_gaussians(
     t11 = j11 * Wr[1, 1] + j12 * Wr[2, 1]
     t12 = j11 * Wr[1, 2] + j12 * Wr[2, 2]
 
-    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
-    a_raw = (t00 * t00 * xx + t01 * t01 * yy + t02 * t02 * zz
-             + 2.0 * (t00 * t01 * xy + t00 * t02 * xz + t01 * t02 * yz))
-    b_raw = (t00 * t10 * xx + t01 * t11 * yy + t02 * t12 * zz
-             + (t00 * t11 + t01 * t10) * xy
-             + (t00 * t12 + t02 * t10) * xz
-             + (t01 * t12 + t02 * t11) * yz)
-    c_raw = (t10 * t10 * xx + t11 * t11 * yy + t12 * t12 * zz
-             + 2.0 * (t10 * t11 * xy + t10 * t12 * xz + t11 * t12 * yz))
-    det_raw = a_raw * c_raw - b_raw * b_raw
-    a, c = a_raw + 0.3, c_raw + 0.3
-    b = b_raw
-    det = a * c - b * b
-    det_ok = det > 0.0
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    if scales is not None:
+        from .transforms import quat_to_rotmat_cols
+        r00, r01, r02, r10, r11, r12, r20, r21, r22 = \
+            quat_to_rotmat_cols(rotations)
+        s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+        # A = T R diag(s), scalar channels; A[i,j] = (tᵢ · R[:,j]) sⱼ
+        a0 = (t00 * r00 + t01 * r10 + t02 * r20) * s0
+        a1 = (t00 * r01 + t01 * r11 + t02 * r21) * s1
+        a2 = (t00 * r02 + t01 * r12 + t02 * r22) * s2
+        c0 = (t10 * r00 + t11 * r10 + t12 * r20) * s0
+        c1 = (t10 * r01 + t11 * r11 + t12 * r21) * s1
+        c2 = (t10 * r02 + t11 * r12 + t12 * r22) * s2
+        a_raw = a0 * a0 + a1 * a1 + a2 * a2
+        c_raw = c0 * c0 + c1 * c1 + c2 * c2
+        b_raw = a0 * c0 + a1 * c1 + a2 * c2
+        m01 = a0 * c1 - a1 * c0
+        m02 = a0 * c2 - a2 * c0
+        m12 = a1 * c2 - a2 * c1
+        det_raw = m01 * m01 + m02 * m02 + m12 * m12
+        a, c = a_raw + 0.3, c_raw + 0.3
+        b = b_raw
+        det = det_raw + 0.3 * (a_raw + c_raw) + 0.09   # >= 0.09 always
+        det_ok = det > 0.0
+        inv_det = 1.0 / det
+    else:
+        xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
+        a_raw = (t00 * t00 * xx + t01 * t01 * yy + t02 * t02 * zz
+                 + 2.0 * (t00 * t01 * xy + t00 * t02 * xz + t01 * t02 * yz))
+        b_raw = (t00 * t10 * xx + t01 * t11 * yy + t02 * t12 * zz
+                 + (t00 * t11 + t01 * t10) * xy
+                 + (t00 * t12 + t02 * t10) * xz
+                 + (t01 * t12 + t02 * t11) * yz)
+        c_raw = (t10 * t10 * xx + t11 * t11 * yy + t12 * t12 * zz
+                 + 2.0 * (t10 * t11 * xy + t10 * t12 * xz + t11 * t12 * yz))
+        det_raw = a_raw * c_raw - b_raw * b_raw
+        a, c = a_raw + 0.3, c_raw + 0.3
+        b = b_raw
+        det = a * c - b * b
+        det_ok = det > 0.0
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
     if antialias:

@@ -32,7 +32,6 @@ from ..ops.losses import l1_loss, ssim
 from ..ops.projection import TILE, project_gaussians
 from ..ops.rasterize import blend, blend_records, pack_records
 from ..ops.sh import eval_sh_upto
-from ..ops.transforms import cov3d_packed
 from .mesh import AXIS
 
 
@@ -42,8 +41,9 @@ def _cdiv(a, b):
 
 def make_sharded_render(mesh: Mesh, *, width: int, height: int,
                         pipe_cfg, axis: str = AXIS):
-    """Build render_fn(means3d, cov3d, colors, opacities, alive, camera, bg,
-    means2d_tap) -> (image (H,W,3) row-sharded, depth, alpha, radii, counts).
+    """Build render_fn(means3d, scales, rotations, colors, opacities, alive,
+    camera, bg, means2d_tap) -> (image (H,W,3) row-sharded, depth, alpha,
+    radii, counts). Scales/rotations (activated) feed the factored EWA path.
 
     Per-Gaussian inputs must be sharded on their leading axis over `axis`.
     """
@@ -54,12 +54,13 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
     strip_h = tiles_y_local * TILE
     full_h = strip_h * n_dev
 
-    def shard_fn(means3d, cov3d, colors, opac, alive, tap,
+    def shard_fn(means3d, scales, rotations, colors, opac, alive, tap,
                  viewmatrix, projmatrix, tanfov, bg):
         splats_l = project_gaussians(
-            means3d, cov3d, opac, colors, viewmatrix, projmatrix,
+            means3d, None, opac, colors, viewmatrix, projmatrix,
             tanfov[0], tanfov[1], width, height,
-            antialias=pipe_cfg.antialias, alive=alive)
+            antialias=pipe_cfg.antialias, alive=alive,
+            scales=scales, rotations=rotations)
         splats_l = splats_l._replace(means2d=splats_l.means2d + tap)
         radii_l = splats_l.radii
         # gather projected splats from all shards (concat on N axis).
@@ -115,16 +116,16 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
     smapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P()),
+                  P(axis), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False)
 
-    def render_fn(means3d, cov3d, colors, opacities, alive, camera: Camera,
-                  bg, means2d_tap):
+    def render_fn(means3d, scales, rotations, colors, opacities, alive,
+                  camera: Camera, bg, means2d_tap):
         tanfov = jnp.asarray([camera.tanfovx, camera.tanfovy], jnp.float32)
         img, dep, alp, radii, counts = smapped(
-            means3d, cov3d, colors, opacities, alive, means2d_tap,
-            camera.viewmatrix, camera.projmatrix, tanfov, bg)
+            means3d, scales, rotations, colors, opacities, alive,
+            means2d_tap, camera.viewmatrix, camera.projmatrix, tanfov, bg)
         return (img[:height], dep[:height], alp[:height], radii, counts)
 
     return render_fn
@@ -163,7 +164,6 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
             dr, ds = 0.0, 0.0
         scales = st.get_scaling + ds
         rots = st.get_rotation + dr
-        cov3d = cov3d_packed(scales, rots)
         opac = st.get_opacity[:, 0]
         dirs = means3d - camera.campos[None]
         dirs = dirs / jnp.maximum(
@@ -172,7 +172,7 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
                                           st.active_sh_degree,
                                           st.get_features, dirs) + 0.5, 0.0)
         img, dep, alp, radii, counts = render_fn(
-            means3d, cov3d, colors, opac, st.alive, camera, bg, tap)
+            means3d, scales, rots, colors, opac, st.alive, camera, bg, tap)
         ll1 = l1_loss(img, camera.image)
         loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
             1 - ssim(img, camera.image))

@@ -106,12 +106,47 @@ def train_baseline(
             t = fid + noise
         return field.step(d_params, xyz, t)
 
-    warm_step = make_train_step(opt_cfg=opt_cfg, pipe_cfg=pipe_cfg,
-                                donate=True)
-    deform_step = make_train_step(
-        opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, is_6dof=model_cfg.is_6dof,
-        deform_fn=deform_fn, deform_update_fn=field.update, donate=True,
-        extra_loss_fn=extra_loss_fn)
+    # --- duplicate-budget auto-tuner: dup_capacity==0 (auto) starts at the
+    # safe 16*capacity default but the STATIC budget prices every
+    # M-proportional op (sort, ragged expand, blend gradient buffers,
+    # reduction) whether slots are used or not — with a padded 100k-capacity
+    # buffer holding 30k alive gaussians it can be >5x oversized. The host
+    # watches aux.dup_total at its existing sync points and rebuilds the
+    # jitted steps with ~2x the observed total (grow >85%, shrink <35%,
+    # 64k granularity → a couple of recompiles per run).
+    import dataclasses as _dc
+    auto_dup = pipe_cfg.dup_capacity == 0
+
+    def _round_budget(x):
+        g = 65536
+        return max(g, ((int(x) + g - 1) // g) * g)
+
+    _dup = {"budget": 0}    # 0 = library default (16*capacity)
+    S = {}
+
+    def build_steps():
+        pc = pipe_cfg if _dup["budget"] == 0 else _dc.replace(
+            pipe_cfg, dup_capacity=_dup["budget"])
+        S["warm"] = make_train_step(opt_cfg=opt_cfg, pipe_cfg=pc,
+                                    donate=True)
+        S["deform"] = make_train_step(
+            opt_cfg=opt_cfg, pipe_cfg=pc, is_6dof=model_cfg.is_6dof,
+            deform_fn=deform_fn, deform_update_fn=field.update, donate=True,
+            extra_loss_fn=extra_loss_fn)
+
+    build_steps()
+
+    def maybe_retune_dup(aux, capacity):
+        if not auto_dup:
+            return
+        total = int(aux.dup_total)
+        cur = _dup["budget"] or 16 * capacity
+        if total > 0.85 * cur or (0 < total < 0.35 * cur):
+            new_b = _round_budget(2 * total)
+            if new_b != cur:
+                _dup["budget"] = new_b
+                build_steps()
+                _chunks.clear()
 
     # --- multi-step dispatch: run n iterations inside ONE jitted fori_loop
     # between host events. The per-step camera is dynamically indexed from a
@@ -129,7 +164,7 @@ def train_baseline(
             aux0 = StepAux(
                 loss=jnp.float32(0), l1=jnp.float32(0),
                 radii=jnp.zeros((state.capacity,), jnp.int32),
-                tile_overflow=jnp.int32(0))
+                tile_overflow=jnp.int32(0), dup_total=jnp.int32(0))
 
             def body(i, carry):
                 st, dst, _ = carry
@@ -147,10 +182,10 @@ def train_baseline(
     def run_chunk(phase_warm, state, dstate, cams, it0, key_, bg_):
         n = len(cams)
         from ..data.cameras import stack_cameras
-        ck = (phase_warm, n, state.capacity)
+        ck = (phase_warm, n, state.capacity, _dup["budget"])
         if ck not in _chunks:
             _chunks[ck] = make_chunk(
-                warm_step if phase_warm else deform_step, n)
+                S["warm"] if phase_warm else S["deform"], n)
         batch = stack_cameras(cams)
         return _chunks[ck](state, dstate, batch, it0, key_, bg_)
 
@@ -236,11 +271,11 @@ def train_baseline(
             key, k1 = jax.random.split(key)
             it = jnp.asarray(iteration, jnp.float32)
             if iteration < opt_cfg.warm_up:
-                state, _, aux = warm_step(state, None, cam, it, k1, bg)
+                state, _, aux = S["warm"](state, None, cam, it, k1, bg)
             else:
                 aux_data = aux_data_fn(cam) if aux_data_fn is not None \
                     else None
-                state, deform_state, aux = deform_step(
+                state, deform_state, aux = S["deform"](
                     state, deform_state, cam, it, k1, bg, aux_data)
         if pbar is not None:
             pbar.update(n)
@@ -276,6 +311,7 @@ def train_baseline(
 
         if iteration % log_every == 0 or iteration == 1:
             loss_val = float(aux.loss)
+            maybe_retune_dup(aux, state.capacity)
             ema_loss = 0.4 * loss_val + 0.6 * ema_loss
             result.losses.append((iteration, loss_val))
             if tb_writer is not None:

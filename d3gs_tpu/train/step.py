@@ -37,6 +37,8 @@ class StepAux(NamedTuple):
     l1: jax.Array
     radii: jax.Array
     tile_overflow: jax.Array   # max per-tile count (diagnostics)
+    dup_total: jax.Array       # total surviving tile-duplicates — drives
+    #                            the host-side dup_capacity auto-tuner
 
 
 def make_train_step(
@@ -131,7 +133,8 @@ def make_train_step(
             deform_state = deform_update_fn(deform_state, d_grads, iteration)
 
         aux = StepAux(loss=loss, l1=ll1, radii=out.radii,
-                      tile_overflow=jnp.max(out.counts))
+                      tile_overflow=jnp.max(out.counts),
+                      dup_total=jnp.sum(out.counts))
         return state, deform_state, aux
 
     def step(state, deform_state, camera, iteration, key, bg,

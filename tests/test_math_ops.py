@@ -144,3 +144,67 @@ def test_psnr():
     a = jnp.zeros((8, 8, 3))
     b = jnp.full((8, 8, 3), 0.1)
     np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_stable_ewa_matches_packed_and_survives_degenerate():
+    import jax
+    """projection.project_gaussians(scales=, rotations=) — the
+    cancellation-free factored EWA path — must (a) match the packed-cov
+    path on a benign scene and (b) keep scaling/rotation gradients FINITE
+    on the degenerate case that NaN'd training: large splats near the
+    camera at high focal, where a*c - b^2 cancels catastrophically in f32
+    and 1/det^2 overflows in the backward."""
+    import math
+    from d3gs_tpu.ops.camera_math import perspective_projection, world_to_view
+    from d3gs_tpu.ops.projection import project_gaussians
+    from d3gs_tpu.ops.transforms import cov3d_packed
+
+    rng = np.random.default_rng(5)
+    n = 128
+    xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.uniform(-4, -2, (n, 3))), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    V = jnp.asarray(world_to_view(np.eye(3), np.array([0, 0, 3.0])).T,
+                    jnp.float32)
+    fov = math.radians(60)
+    P = V @ jnp.asarray(perspective_projection(0.01, 100.0, fov, fov).T,
+                        jnp.float32)
+    tan = math.tan(fov / 2)
+
+    def proj(use_factor, s, q):
+        cov = cov3d_packed(s, q)
+        return project_gaussians(
+            xyz, None if use_factor else cov, opac, cols, V, P, tan, tan,
+            400, 400, scales=s if use_factor else None,
+            rotations=q if use_factor else None)
+
+    a = proj(False, scales, quats)
+    b = proj(True, scales, quats)
+    np.testing.assert_allclose(np.asarray(a.conics), np.asarray(b.conics),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depths), np.asarray(b.depths))
+    assert (np.asarray(a.radii) == np.asarray(b.radii)).mean() > 0.98
+
+    # degenerate: huge anisotropic splats just in front of the camera
+    xyz_d = jnp.asarray(rng.uniform(-0.2, 0.2, (n, 3)), jnp.float32) \
+        .at[:, 2].set(2.7)                         # view z ~ 0.3
+    scales_d = jnp.asarray(
+        np.stack([np.full(n, 5.0), np.full(n, 5.0), np.full(n, 1e-4)], 1),
+        jnp.float32)
+
+    def loss(use_factor):
+        def f(s, q):
+            sp = project_gaussians(
+                xyz_d, None if use_factor else cov3d_packed(s, q), opac,
+                cols, V, P, tan, tan, 400, 400,
+                scales=s if use_factor else None,
+                rotations=q if use_factor else None)
+            return jnp.sum(sp.conics * sp.opacities[:, None]) \
+                + jnp.sum(sp.means2d)
+        return f
+
+    gs, gq = jax.grad(loss(True), argnums=(0, 1))(scales_d, quats)
+    assert np.isfinite(np.asarray(gs)).all(), "stable path scaling grads"
+    assert np.isfinite(np.asarray(gq)).all(), "stable path rotation grads"

@@ -44,7 +44,15 @@ def scene():
     state = state.replace(
         active_sh_degree=jnp.asarray(1, jnp.int32),
         params=state.params._replace(
-            opacity=jnp.asarray(rng.uniform(-1, 3, (CAP, 1)), jnp.float32)))
+            opacity=jnp.asarray(rng.uniform(-1, 3, (CAP, 1)), jnp.float32),
+            # anisotropic scales + non-identity quats so rotation gradients
+            # are non-degenerate (isotropic splats have exactly-zero
+            # rotation grads, reducing the comparison to float noise)
+            scaling=jnp.asarray(rng.uniform(-5.0, -3.0, (CAP, 3)),
+                                jnp.float32),
+            rotation=jnp.asarray(
+                rng.normal(size=(CAP, 4)) + np.array([2.0, 0, 0, 0]),
+                jnp.float32)))
     cams = [make_cam(3.0 + 0.3 * i, 0.2 * i, 0.1 * i, rng)
             for i in range(K)]
     return state, cams

@@ -15,7 +15,6 @@ from d3gs_tpu.models.renderer import render
 from d3gs_tpu.parallel.mesh import make_mesh, replicate, shard_gaussian_state
 from d3gs_tpu.parallel.sharded import (make_sharded_render,
                                        make_sharded_train_step)
-from d3gs_tpu.ops.transforms import cov3d_packed
 from tests.test_train_static import gt_state, make_camera
 
 
@@ -37,14 +36,13 @@ def test_sharded_render_matches_single_device(mesh):
     st = shard_gaussian_state(gt, mesh)
     render_fn = make_sharded_render(mesh, width=64, height=64,
                                     pipe_cfg=pipe_cfg)
-    cov3d = cov3d_packed(st.get_scaling, st.params.rotation)
     colors = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.5]), (cap, 3))
     # use constant colors both paths for comparison
     single_c = render(gt, cam, bg=bg, tile_capacity=256, tile_chunk=8,
                       override_color=colors)
     img, dep, alp, radii, counts = jax.jit(render_fn)(
-        st.params.xyz, cov3d, colors, st.get_opacity[:, 0], st.alive, cam,
-        bg, jnp.zeros((cap, 2)))
+        st.params.xyz, st.get_scaling, st.params.rotation, colors,
+        st.get_opacity[:, 0], st.alive, cam, bg, jnp.zeros((cap, 2)))
     np.testing.assert_allclose(np.asarray(img), np.asarray(single_c.image),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dep), np.asarray(single_c.depth),
@@ -74,10 +72,9 @@ def test_sharded_gradients_match_single_device(mesh):
     st = shard_gaussian_state(gt, mesh)
     render_fn = make_sharded_render(mesh, width=48, height=48,
                                     pipe_cfg=pipe_cfg)
-    cov3d = cov3d_packed(st.get_scaling, st.params.rotation)
-
     def loss_sharded(xyz):
-        img, *_ = render_fn(xyz, cov3d, colors, st.get_opacity[:, 0],
+        img, *_ = render_fn(xyz, st.get_scaling, st.params.rotation,
+                            colors, st.get_opacity[:, 0],
                             st.alive, cam, bg, jnp.zeros((cap, 2)))
         return jnp.sum(img ** 2)
 

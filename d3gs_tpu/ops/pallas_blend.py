@@ -245,8 +245,14 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         incf = inc.astype(jnp.float32)
         g_alpha = gw * tb * incf - (suffix + gtt * incf) * inv_om
         g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
+        # HIGHEST precision: the moment-difference reconstruction below
+        # (Sdx = ux*M1 - Mx, ...) cancels heavily for in-tile gaussians, so
+        # single-pass-bf16 MXU rounding of the moments turns into large
+        # relative error on the mean/conic gradients — enough to diverge
+        # training (geometry params NaN while opacity/color stay clean)
         m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
         mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
         ux = blk[0:1] - ox
@@ -628,8 +634,14 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         incf = inc.astype(jnp.float32)
         g_alpha = gw * tb * incf - (suffix + gtt_e * incf) * inv_om
         g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
+        # HIGHEST precision: the moment-difference reconstruction below
+        # (Sdx = ux*M1 - Mx, ...) cancels heavily for in-tile gaussians, so
+        # single-pass-bf16 MXU rounding of the moments turns into large
+        # relative error on the mean/conic gradients — enough to diverge
+        # training (geometry params NaN while opacity/color stay clean)
         m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
         mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
         ux, uy = mm_x, mm_y

@@ -290,8 +290,12 @@ def _blend_bwd(res, grads):
     lx = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1).reshape(-1)
     mono = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly],
                      axis=-1)                                      # (P, 6)
+    # HIGHEST precision (see pallas_blend._bwd_kernel): the moment
+    # differences below cancel for in-tile gaussians and amplify bf16 MXU
+    # rounding into divergent mean/conic gradients
     M = jnp.einsum("tkp,pj->tkj", g_power, mono,
-                   preferred_element_type=jnp.float32)             # (Tc,K,6)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)            # (Tc,K,6)
     M1, Mx, My, Mxx, Mxy, Myy = (M[..., i] for i in range(6))
 
     # dx = ux - lx, dy = uy - ly with ux = mu_x - origin_x (per record)

@@ -148,6 +148,7 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
                                     pipe_cfg=pipe_cfg, axis=axis)
     lambda_dssim = opt_cfg.lambda_dssim
     use_deform = field is not None
+    _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
 
     def loss_fn(g_params, d_params, tap, state, camera, bg):
         st = state.replace(params=g_params)
@@ -181,6 +182,11 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
     @jax.jit
     def step(state: G.GaussianState, deform_state, camera: Camera,
              iteration, bg):
+        # HIGHEST matmul precision for training — see train/step.py
+        with jax.default_matmul_precision(_train_prec):
+            return _step_impl(state, deform_state, camera, iteration, bg)
+
+    def _step_impl(state, deform_state, camera, iteration, bg):
         tap0 = jnp.zeros((state.capacity, 2))
         d_params = deform_state.params if use_deform else None
         (loss, (ll1, radii)), (g_grads, d_grads, tap_grad) = \
@@ -227,6 +233,7 @@ def make_flagship_camera_parallel_step(
     direct = opt_cfg.direct_compute and field.spec.kind in (
         "ode", "simple", "simple_start")
     n_dev = mesh.shape[axis]
+    _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
 
     def render_one(st, cam, dx, dr, ds, tap, bg):
         out = render(
@@ -280,6 +287,11 @@ def make_flagship_camera_parallel_step(
     @jax.jit
     def step(state: G.GaussianState, deform_state, cams: Camera,
              iteration, key, bg):
+        # HIGHEST matmul precision for training — see train/step.py
+        with jax.default_matmul_precision(_train_prec):
+            return _step_impl(state, deform_state, cams, iteration, key, bg)
+
+    def _step_impl(state, deform_state, cams, iteration, key, bg):
         tap0 = jnp.zeros((state.capacity, 2))
         d_params = deform_state.params if deform_state is not None else None
 

@@ -71,6 +71,7 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
     lambda_dssim = opt_cfg.lambda_dssim
     direct = opt_cfg.direct_compute and field.spec.kind in (
         "ode", "simple", "simple_start")
+    _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
     # fused path (opt-in): one global (cam, tile, depth) sort + one pallas
     # blend over k*T tiles (renderer.render_multi). Measured slower than the
     # scan loop on a single chip (33 vs 21 ms/cam at k=10) — every M-scale
@@ -111,6 +112,11 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
     @jax.jit
     def step(state: G.GaussianState, deform_state, cams: Camera,
              iteration: jax.Array, key: jax.Array, bg: jax.Array):
+        # HIGHEST matmul precision for training — see train/step.py
+        with jax.default_matmul_precision(_train_prec):
+            return _step_impl(state, deform_state, cams, iteration, key, bg)
+
+    def _step_impl(state, deform_state, cams, iteration, key, bg):
         cap = state.capacity
         k = cams.fid.shape[0]
         tap0 = jnp.zeros((cap, 2))

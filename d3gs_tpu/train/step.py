@@ -64,6 +64,7 @@ def make_train_step(
     """
     lambda_dssim = opt_cfg.lambda_dssim
     use_deform = deform_fn is not None
+    _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
 
     def render_loss(g_params, d_params, tap, state, camera, iteration, key,
                     bg, aux_data):
@@ -99,6 +100,19 @@ def make_train_step(
     def _step(state: G.GaussianState, deform_state: Any, camera: Camera,
               iteration: jax.Array, key: jax.Array, bg: jax.Array,
               aux_data: Any = None):
+        # TRAIN steps trace at HIGHEST matmul precision: the TPU default
+        # single-bf16-pass MXU rounding destabilizes the deform-phase
+        # dynamics at >=400px (loss climbs within tens of iterations after
+        # warm-up; xyz/scaling/rotation eventually NaN while opacity/color
+        # stay clean). With full-f32 passes the trajectory tracks a CPU
+        # (true f32) run step for step. Eval/render paths keep the fast
+        # default — forward-only value noise (~0.4%) is invisible.
+        with jax.default_matmul_precision(_train_prec):
+            return _step_impl(state, deform_state, camera, iteration, key,
+                              bg, aux_data)
+
+    def _step_impl(state, deform_state, camera, iteration, key, bg,
+                   aux_data):
         tap0 = jnp.zeros((state.capacity, 2))
 
         if use_deform:

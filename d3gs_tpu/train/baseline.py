@@ -280,34 +280,6 @@ def train_baseline(
         if pbar is not None:
             pbar.update(n)
 
-        # cadence (densify/reset) — identical to train_baseline.py:163-175
-        if iteration < opt_cfg.densify_until_iter:
-            if (iteration > opt_cfg.densify_from_iter
-                    and iteration % opt_cfg.densification_interval == 0):
-                # grow the padded buffer when densification fills it: the
-                # TPU counterpart of the reference's dynamically-resized
-                # tensors — one recompile per growth, a few per run
-                if (int(state.num_alive) > 0.9 * state.capacity
-                        and state.capacity < model_cfg.max_gaussians):
-                    new_cap = min(
-                        G._round_capacity(state.capacity * 2),
-                        G._round_capacity(model_cfg.max_gaussians))
-                    state = G.grow_capacity(state, new_cap)
-                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
-                    else 0.0
-                key, k2 = jax.random.split(key)
-                state = densify(state, k2, size_thresh,
-                                jnp.asarray(cameras_extent))
-                if int(state.num_alive) == 0:
-                    print(f"WARNING: all gaussians pruned at iteration "
-                          f"{iteration} (size/opacity thresholds wiped the "
-                          f"scene — typically a blurry fit at the first "
-                          f"max_screen_size prune; consider a shorter "
-                          f"warm_up or later opacity_reset_interval)")
-            if (iteration % opt_cfg.opacity_reset_interval == 0
-                    or (model_cfg.white_background
-                        and iteration == opt_cfg.densify_from_iter)):
-                state = reset_opacity(state)
 
         if iteration % log_every == 0 or iteration == 1:
             loss_val = float(aux.loss)
@@ -378,6 +350,38 @@ def train_baseline(
             os.makedirs(pc_dir, exist_ok=True)
             save_gaussians_ply(os.path.join(pc_dir, "point_cloud.ply"), state)
             save_deform_weights(model_path, iteration, deform_state)
+
+        # cadence (densify/reset) AFTER report/save, matching the
+        # reference order (train_baseline.py:157-182: report, save,
+        # then densify) — eval at a reset iteration sees the
+        # PRE-reset state
+        if iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                # grow the padded buffer when densification fills it: the
+                # TPU counterpart of the reference's dynamically-resized
+                # tensors — one recompile per growth, a few per run
+                if (int(state.num_alive) > 0.9 * state.capacity
+                        and state.capacity < model_cfg.max_gaussians):
+                    new_cap = min(
+                        G._round_capacity(state.capacity * 2),
+                        G._round_capacity(model_cfg.max_gaussians))
+                    state = G.grow_capacity(state, new_cap)
+                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
+                    else 0.0
+                key, k2 = jax.random.split(key)
+                state = densify(state, k2, size_thresh,
+                                jnp.asarray(cameras_extent))
+                if int(state.num_alive) == 0:
+                    print(f"WARNING: all gaussians pruned at iteration "
+                          f"{iteration} (size/opacity thresholds wiped the "
+                          f"scene — typically a blurry fit at the first "
+                          f"max_screen_size prune; consider a shorter "
+                          f"warm_up or later opacity_reset_interval)")
+            if (iteration % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and iteration == opt_cfg.densify_from_iter)):
+                state = reset_opacity(state)
 
         iteration += 1
 

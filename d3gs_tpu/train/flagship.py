@@ -414,30 +414,6 @@ def train_flagship(
         if pbar is not None:
             pbar.update(n)
 
-        if densify_allowed and iteration < opt_cfg.densify_until_iter:
-            if (iteration > opt_cfg.densify_from_iter
-                    and iteration % opt_cfg.densification_interval == 0):
-                # capacity growth schedule (see train/baseline.py)
-                if (int(state.num_alive) > 0.9 * state.capacity
-                        and state.capacity < model_cfg.max_gaussians):
-                    state = G.grow_capacity(state, min(
-                        G._round_capacity(state.capacity * 2),
-                        G._round_capacity(model_cfg.max_gaussians)))
-                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
-                    else 0.0
-                key, k2 = jax.random.split(key)
-                state = densify(state, k2, size_thresh,
-                                jnp.asarray(cameras_extent))
-                if int(state.num_alive) == 0:
-                    print(f"WARNING: all gaussians pruned at iteration "
-                          f"{iteration} (size/opacity thresholds wiped the "
-                          f"scene — typically a blurry fit at the first "
-                          f"max_screen_size prune; consider a shorter "
-                          f"warm_up or later opacity_reset_interval)")
-            if (iteration % opt_cfg.opacity_reset_interval == 0
-                    or (model_cfg.white_background
-                        and iteration == opt_cfg.densify_from_iter)):
-                state = reset_opacity(state)
 
         if iteration % log_every == 0 or iteration == 1:
             lv = float(loss)
@@ -501,6 +477,31 @@ def train_flagship(
             save_gaussians_ply(os.path.join(pc_dir, "point_cloud.ply"),
                                state)
             save_deform_weights(model_path, iteration, deform_state)
+
+        if densify_allowed and iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                # capacity growth schedule (see train/baseline.py)
+                if (int(state.num_alive) > 0.9 * state.capacity
+                        and state.capacity < model_cfg.max_gaussians):
+                    state = G.grow_capacity(state, min(
+                        G._round_capacity(state.capacity * 2),
+                        G._round_capacity(model_cfg.max_gaussians)))
+                size_thresh = 20.0 if iteration > opt_cfg.opacity_reset_interval \
+                    else 0.0
+                key, k2 = jax.random.split(key)
+                state = densify(state, k2, size_thresh,
+                                jnp.asarray(cameras_extent))
+                if int(state.num_alive) == 0:
+                    print(f"WARNING: all gaussians pruned at iteration "
+                          f"{iteration} (size/opacity thresholds wiped the "
+                          f"scene — typically a blurry fit at the first "
+                          f"max_screen_size prune; consider a shorter "
+                          f"warm_up or later opacity_reset_interval)")
+            if (iteration % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and iteration == opt_cfg.densify_from_iter)):
+                state = reset_opacity(state)
 
         iteration += 1
 

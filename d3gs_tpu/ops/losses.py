@@ -71,14 +71,23 @@ def _band_matrix(dim: int, size: int, sigma: float):
 
 
 def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
-    """Separable blur of (H, W, C) with SAME padding via banded matmuls."""
+    """Separable blur of (H, W, C) with SAME padding via banded matmuls.
+
+    HIGHEST precision always: SSIM's variances are blur(x²) − μ² — a
+    cancellation of nearly-equal terms. At the TPU default single-bf16-pass
+    matmul precision the rounding noise exceeds the true variance in
+    near-flat regions, producing negative variances, near-zero denominators
+    and SSIM values far outside [-1, 1] (observed 6.6 on real renders).
+    The two 400×400-scale matmuls cost microseconds at full precision."""
     h, w = img.shape[0], img.shape[1]
     bh = jnp.asarray(_band_matrix(h, size, sigma))
     bw = jnp.asarray(_band_matrix(w, size, sigma))
     x = jnp.einsum("Hh,hwc->Hwc", bh, img,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("hwc,wW->hWc", x, bw,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,

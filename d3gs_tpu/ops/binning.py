@@ -221,6 +221,9 @@ def bin_splats_records(
     m_cap = dup_capacity
     shift = max(int(n).bit_length(), 1)
     assert (num_tiles + 1) << shift < 2 ** 31
+    # the expand round-trips offsets through float32 (row_tab below): exact
+    # only below 2^24; beyond that tile assignment silently corrupts
+    assert m_cap < 2 ** 24, "dup_capacity >= 2^24 breaks the f32 offset path"
 
     y0 = jnp.asarray(tile_y0, jnp.int32)
     ty_lo_u = jnp.maximum(splats.tile_min[:, 1], y0)
@@ -337,6 +340,8 @@ def bin_splats_records_multi(
     shift = max(int(n).bit_length(), 1)
     assert (k * num_tiles + 1) << shift < 2 ** 31, \
         "cam/tile/rank key exceeds int32; reduce cameras, tiles or capacity"
+    assert mc < 2 ** 24, \
+        "dup_capacity_per_cam >= 2^24 breaks the f32 offset path"
 
     bw_u = (splats.tile_max[..., 0] - splats.tile_min[..., 0]) \
         .astype(jnp.int32)

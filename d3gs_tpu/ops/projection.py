@@ -168,9 +168,17 @@ def project_gaussians(
     # count at the source — especially after opacity resets.
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    sigma_mul = jnp.minimum(3.0, jnp.sqrt(
-        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0)))
-    radius = jnp.ceil(jnp.maximum(sigma_mul, 0.0) * jnp.sqrt(lam1))
+    sig = jnp.sqrt(lam1)
+    # the log argument clamp keeps opa < 1/255 from producing sqrt(<0)=NaN
+    # (such splats pass no alpha-min test anywhere: radius 0 is exact)
+    sigma_mul = jnp.minimum(3.0, jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0), 0.0)))
+    radius = jnp.ceil(sigma_mul * sig)
+    # reference 3σ radius (diff-gaussian-rasterization forward.cu
+    # computeCov2D): reported in `radii` so max_radii2d / size-prune /
+    # densification stats see reference semantics even though tile binning
+    # uses the tighter alpha-aware radius above (output-exact shrink)
+    radius3 = jnp.ceil(3.0 * sig)
 
     mean2d = jnp.stack([
         ndc_to_pixel(p_proj[:, 0], width),
@@ -190,7 +198,22 @@ def project_gaussians(
     if alive is not None:
         visible = visible & alive
 
-    radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
+    # stats visibility matches the reference's `radii > 0` filter
+    # (in-frustum, valid cov, non-empty 3σ tile rect, alive) independent of
+    # the alpha-aware clamp used for binning
+    n3min_x = jnp.clip(((mean2d[:, 0] - radius3) / TILE).astype(jnp.int32),
+                       0, tiles_x)
+    n3min_y = jnp.clip(((mean2d[:, 1] - radius3) / TILE).astype(jnp.int32),
+                       0, tiles_y)
+    n3max_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius3) / TILE)
+                       .astype(jnp.int32) + 1, 0, tiles_x)
+    n3max_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius3) / TILE)
+                       .astype(jnp.int32) + 1, 0, tiles_y)
+    vis_stats = in_front & det_ok & (radius3 > 0) \
+        & (n3max_x > n3min_x) & (n3max_y > n3min_y)
+    if alive is not None:
+        vis_stats = vis_stats & alive
+    radii = jnp.where(vis_stats, radius3, 0.0).astype(jnp.int32)
     return ProjectedSplats(
         means2d=mean2d,
         depths=tz,

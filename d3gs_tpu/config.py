@@ -45,6 +45,9 @@ class ModelParams:
     use_linear: int = 0
     use_emb: bool = True
     output_scale: float = 1.0
+    ode_solver: str = "rk4"       # "rk4" (fixed-step) | "adaptive" (Dopri5 +
+                                  # adjoint at --rtol/--atol, the reference
+                                  # torchdiffeq/torchode controller path)
     load2gpu_on_the_fly: bool = False
     data_device: str = "tpu"
 

@@ -31,7 +31,8 @@ from flax import struct
 from ...ops.schedules import expon_lr
 from .networks import (DeformMLP, DeformNetworkODE, DeformNetworkSimple,
                        DeformNetworkSimpleStart)
-from .ode import odeint_from_zero, odeint_grid
+from .ode import (odeint_adaptive, odeint_adaptive_from_zero,
+                  odeint_from_zero, odeint_grid)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,7 +48,12 @@ class DeformFieldSpec:
     output_scale: float = 1.0
     skips: tuple = (4,)
     n_substeps: int = 4             # RK4 substeps per grid segment
-    rtol: float = 1e-3              # kept for adaptive-solver parity runs
+    solver: str = "rk4"             # "rk4" (fixed-step, checkpointed scan) |
+                                    # "adaptive" (Dopri5 + adjoint at
+                                    # rtol/atol — the reference torchdiffeq/
+                                    # torchode controller semantics,
+                                    # scene/deform_model.py:61-78,196-198)
+    rtol: float = 1e-3              # adaptive-solver tolerances
     atol: float = 1e-4
     compute_dtype: str = "float32"   # MLP activation dtype ("float32" |
                                      # "bfloat16"); params/outputs stay f32.
@@ -105,6 +111,9 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
                         opt_cfg=None, *, spatial_lr_scale: float = 5.0,
                         example_n: int = 8):
     """Initialize params + optimizer and build the step functions."""
+    if spec.solver not in ("rk4", "adaptive"):
+        raise ValueError(f"unknown ODE solver {spec.solver!r} "
+                         "(expected 'rk4' or 'adaptive')")
     net = _build_network(spec)
     x0 = jnp.zeros((example_n, 3))
     t0 = jnp.zeros((example_n, 1))
@@ -148,19 +157,17 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         if spec.kind in ("baseline", "warp"):
             t_col = jnp.broadcast_to(jnp.reshape(t, (-1, 1))[:1], (n, 1))
             return net.apply(params, xyz, t_col)
-        if spec.kind == "ode":
-            f = lambda tt, yy: net.apply(params, tt, yy)
-            y = odeint_from_zero(f, xyz, jnp.reshape(t, ()),
-                                 n_substeps=2 * spec.n_substeps)
-            r, s = _zeros_rot_scale(n)
-            return y, r, s
-        if spec.kind == "simple":
+        if spec.kind == "ode" or spec.kind == "simple":
             f = lambda tt, yy: net.apply(params, tt, yy)
         else:  # simple_start
             anchor = xyz if y0 is None else y0
             f = lambda tt, yy: net.apply(params, tt, yy, anchor)
-        y = odeint_from_zero(f, xyz, jnp.reshape(t, ()),
-                             n_substeps=2 * spec.n_substeps)
+        if spec.solver == "adaptive":
+            y = odeint_adaptive_from_zero(f, xyz, t, rtol=spec.rtol,
+                                          atol=spec.atol)
+        else:
+            y = odeint_from_zero(f, xyz, jnp.reshape(t, ()),
+                                 n_substeps=2 * spec.n_substeps)
         r, s = _zeros_rot_scale(n)
         return y, r, s
 
@@ -184,7 +191,11 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         else:
             anchor = xyz if y0 is None else y0
             f = lambda tt, yy: net.apply(params, tt, yy, anchor)
-        ys = odeint_grid(f, xyz, ts, n_substeps=spec.n_substeps)  # (T, N, 3)
+        if spec.solver == "adaptive" and ts.ndim == 1:
+            ys = odeint_adaptive(f, xyz, ts, rtol=spec.rtol,
+                                 atol=spec.atol)               # (T, N, 3)
+        else:
+            ys = odeint_grid(f, xyz, ts, n_substeps=spec.n_substeps)
         T = ys.shape[0]
         r = jnp.zeros((T, n, 4))
         s = jnp.zeros((T, n, 3))

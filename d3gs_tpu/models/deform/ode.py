@@ -93,11 +93,50 @@ def odeint_from_zero(f: Callable, y0: jax.Array, t: jax.Array, *,
 def odeint_adaptive(f: Callable, y0: jax.Array, ts: jax.Array,
                     rtol: float = 1e-3, atol: float = 1e-4) -> jax.Array:
     """Adaptive Dopri5 with adjoint gradients (jax.experimental.ode),
-    tolerance-compatible with the reference torchdiffeq path. Shared (T,)
-    grid only."""
+    tolerance-compatible with the reference torchdiffeq path
+    (scene/deform_model.py:196-198) and the torchode controller
+    (deform_model.py:61-78). Shared (T,) grid only ((N, T) per-sample
+    grids require the fixed-step path).
+
+    The eval grid is made strictly increasing before integration (jax's
+    odeint requires it; camera windows can repeat fids) by bumping
+    duplicates an epsilon above their predecessor, then results are
+    returned for the ORIGINAL times — exact for duplicates up to one
+    epsilon step of drift.
+    """
     from jax.experimental.ode import odeint as jodeint
+
+    if ts.ndim != 1:
+        raise ValueError(
+            "adaptive ODE integration supports a shared (T,) grid only; "
+            "use the fixed-step RK4 path for per-sample (N, T) grids")
 
     def f_flip(y, t):
         return f(t, y)
 
-    return jodeint(f_flip, y0, ts, rtol=rtol, atol=atol)
+    ts_mono = _strict_increase(ts, 1e-6)
+    return jodeint(f_flip, y0, ts_mono, rtol=rtol, atol=atol)
+
+
+def _strict_increase(ts: jax.Array, eps: float) -> jax.Array:
+    """Monotone repair: each entry at least eps above its predecessor."""
+    def body(prev, t):
+        t2 = jnp.maximum(t, prev + eps)
+        return t2, t2
+    _, out = jax.lax.scan(body, ts[0] - eps, ts)
+    return out
+
+
+def odeint_adaptive_from_zero(f: Callable, y0: jax.Array, t: jax.Array,
+                              rtol: float = 1e-3,
+                              atol: float = 1e-4) -> jax.Array:
+    """Adaptive integration from 0 to scalar t (reference
+    `odeint_adjoint(f, xyz, [0, t])`, deform_model.py:196-198). A zero or
+    negative horizon returns y0 (the reference's t=0 shortcut) while the
+    solver still integrates a clamped positive interval so its step-size
+    control never sees a zero-length span."""
+    t = jnp.reshape(t, ())
+    t_eff = jnp.maximum(t, 1e-6)
+    ys = odeint_adaptive(f, y0, jnp.stack([jnp.zeros_like(t), t_eff]),
+                         rtol=rtol, atol=atol)
+    return jnp.where(t > 0.0, ys[-1], y0)

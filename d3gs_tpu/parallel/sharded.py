@@ -252,7 +252,7 @@ def make_flagship_camera_parallel_step(
             1 - ssim(out.image, cam.image))
         return loss, ll1, out.radii, jnp.max(out.counts)
 
-    def local_loss(g_params, d_params, tap, state, cams_l, bg):
+    def local_loss(g_params, d_params, tap, state, cams_l, bg, wts_l):
         st = state.replace(params=g_params)
         k_local = cams_l.fid.shape[0]
         if use_deform:
@@ -271,32 +271,37 @@ def make_flagship_camera_parallel_step(
 
         losses, ll1s, radii, ovf = jax.lax.map(
             per_cam, (cams_l, dxs, drs, dss))
-        k_total = k_local * n_dev
-        loss = jax.lax.psum(jnp.sum(losses), axis) / k_total
-        ll1 = jax.lax.psum(jnp.sum(ll1s), axis) / k_total
+        # weighted mean: ragged batches pad by repeating cameras, each copy
+        # weighted 1/dup so the result equals the unpadded single-device
+        # mean (reference loss semantics, train.py:224-251)
+        wsum = jax.lax.psum(jnp.sum(wts_l), axis)
+        loss = jax.lax.psum(jnp.sum(wts_l * losses), axis) / wsum
+        ll1 = jax.lax.psum(jnp.sum(wts_l * ll1s), axis) / wsum
         radii_max = jax.lax.pmax(jnp.max(radii, axis=0), axis)   # (N,)
         ovf_max = jax.lax.pmax(jnp.max(ovf), axis)
         return loss, ll1, radii_max, ovf_max
 
     smap = jax.shard_map(
         local_loss, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P()),
+        in_specs=(P(), P(), P(), P(), P(axis), P(), P(axis)),
         out_specs=(P(), P(), P(), P()),
         check_vma=False)
 
     @jax.jit
     def step(state: G.GaussianState, deform_state, cams: Camera,
-             iteration, key, bg):
+             iteration, key, bg, wts: jax.Array | None = None):
         # HIGHEST matmul precision for training — see train/step.py
         with jax.default_matmul_precision(_train_prec):
-            return _step_impl(state, deform_state, cams, iteration, key, bg)
+            return _step_impl(state, deform_state, cams, iteration, key, bg,
+                              wts)
 
-    def _step_impl(state, deform_state, cams, iteration, key, bg):
+    def _step_impl(state, deform_state, cams, iteration, key, bg, wts=None):
         tap0 = jnp.zeros((state.capacity, 2))
         d_params = deform_state.params if deform_state is not None else None
+        w = jnp.ones_like(cams.fid) if wts is None else wts
 
         def loss_fn(gp, dp, tap):
-            loss, ll1, radii, ovf = smap(gp, dp, tap, state, cams, bg)
+            loss, ll1, radii, ovf = smap(gp, dp, tap, state, cams, bg, w)
             return loss, (ll1, radii, ovf)
 
         (loss, (ll1, radii, ovf)), (g_grads, d_grads, tap_grad) = \

@@ -61,6 +61,7 @@ def pick_field_spec(model_cfg: ModelParams, opt_cfg) -> DeformFieldSpec:
         is_6dof=model_cfg.is_6dof, D=model_cfg.D, W=model_cfg.W,
         multires=model_cfg.multires, use_linear=model_cfg.use_linear,
         use_emb=model_cfg.use_emb, output_scale=model_cfg.output_scale,
+        solver=getattr(model_cfg, "ode_solver", "rk4"),
         rtol=opt_cfg.rtol, atol=opt_cfg.atol)
 
 
@@ -111,14 +112,21 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
 
     @jax.jit
     def step(state: G.GaussianState, deform_state, cams: Camera,
-             iteration: jax.Array, key: jax.Array, bg: jax.Array):
+             iteration: jax.Array, key: jax.Array, bg: jax.Array,
+             wts: jax.Array | None = None):
         # HIGHEST matmul precision for training — see train/step.py
         with jax.default_matmul_precision(_train_prec):
-            return _step_impl(state, deform_state, cams, iteration, key, bg)
+            return _step_impl(state, deform_state, cams, iteration, key, bg,
+                              wts)
 
-    def _step_impl(state, deform_state, cams, iteration, key, bg):
+    def _step_impl(state, deform_state, cams, iteration, key, bg, wts=None):
         cap = state.capacity
         k = cams.fid.shape[0]
+        # per-camera loss weights (ragged mesh batches pad by repeating
+        # cameras; weighting each copy 1/dup makes the padded batch's loss
+        # equal the unpadded mean — reference train.py:224-251 semantics)
+        w = jnp.ones((k,)) if wts is None else wts
+        wsum = jnp.sum(w)
         tap0 = jnp.zeros((cap, 2))
 
         def loss_fn(g_params, d_params, tap):
@@ -138,9 +146,9 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
                     dxs if use_deform else 0.0,
                     drs if use_deform else 0.0,
                     dss if use_deform else 0.0, tap, bg)
-                return jnp.mean(losses), (jnp.mean(ll1s),
-                                          jnp.max(radii, axis=0),
-                                          ovf)
+                return jnp.sum(w * losses) / wsum, (
+                    jnp.sum(w * ll1s) / wsum,
+                    jnp.max(radii, axis=0), ovf)
 
             def per_cam(cam, dx, dr, ds):
                 if use_deform:
@@ -152,9 +160,9 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
             # ~2x slower per camera than running them sequentially
             losses, ll1s, radii, ovf = jax.lax.map(
                 lambda args: per_cam(*args), (cams, dxs, drs, dss))
-            return jnp.mean(losses), (jnp.mean(ll1s),
-                                      jnp.max(radii, axis=0),
-                                      jnp.max(ovf))
+            return jnp.sum(w * losses) / wsum, (
+                jnp.sum(w * ll1s) / wsum,
+                jnp.max(radii, axis=0), jnp.max(ovf))
 
         d_params = deform_state.params if deform_state is not None else None
         (loss, (ll1, radii, ovf)), grads = jax.value_and_grad(
@@ -287,14 +295,16 @@ def train_flagship(
     _chunks = {}
 
     def run_chunk(step_fn, skey, state, dstate, batches, it0, key_):
-        n, kk = len(batches), len(batches[0])
-        flat = stack_cameras([c for b in batches for c in b])
+        n, kk = len(batches), len(batches[0][0])
+        flat = stack_cameras([c for b, _ in batches for c in b])
         chunk_cams = jax.tree.map(
             lambda x: x.reshape((n, kk) + x.shape[1:]), flat)
+        chunk_wts = jnp.asarray(
+            np.stack([w for _, w in batches]))            # (n, kk)
         ck = (skey, n, kk, state.capacity)
         if ck not in _chunks:
             @jax.jit
-            def chunk(st0, dst0, cams_c, i0, kc, bg_):
+            def chunk(st0, dst0, cams_c, wts_c, i0, kc, bg_):
                 z = jnp.float32(0)
 
                 def body(i, carry):
@@ -302,13 +312,15 @@ def train_flagship(
                     cam_i = jax.tree.map(lambda x: x[i], cams_c)
                     return step_fn(st, dst, cam_i,
                                    i0 + i.astype(jnp.float32),
-                                   jax.random.fold_in(kc, i), bg_)
+                                   jax.random.fold_in(kc, i), bg_,
+                                   wts_c[i])
 
                 return jax.lax.fori_loop(
                     0, n, body, (st0, dst0, z, z, jnp.int32(0)))
 
             _chunks[ck] = chunk
-        return _chunks[ck](state, dstate, chunk_cams, it0, key_, bg)
+        return _chunks[ck](state, dstate, chunk_cams, chunk_wts, it0, key_,
+                           bg)
 
     def _post_event(j):
         if j >= opt_cfg.iterations:
@@ -366,12 +378,16 @@ def train_flagship(
         picked = [stack.pop(rng.randint(0, len(stack) - 1))
                   for _ in range(n_pick)]
         # camera-parallel mesh: the batch shards over devices, so pad to a
-        # multiple of the mesh size by repeating cameras (their loss terms
-        # double-weight slightly on ragged final batches)
+        # multiple of the mesh size by repeating cameras; each copy is
+        # weighted 1/dup below so the padded loss equals the unpadded mean
         while mesh is not None and len(picked) % n_dev != 0:
             picked.append(picked[rng.randint(0, len(picked) - 1)])
         picked.sort(key=lambda c: float(c.fid))
-        return picked
+        counts = {}
+        for c in picked:
+            counts[id(c)] = counts.get(id(c), 0) + 1
+        wts = np.asarray([1.0 / counts[id(c)] for c in picked], np.float32)
+        return picked, wts
 
     _iter_t0, _iter_last = time.perf_counter(), 0
     iteration = 1
@@ -380,7 +396,7 @@ def train_flagship(
             state = oneup(state)
 
         n = chunk_len(iteration)
-        batches = [pick_batch() for _ in range(n)]
+        batches = [pick_batch() for _ in range(n)]   # [(cams, wts), ...]
         warm = iteration < opt_cfg.warm_up
         if warm:
             upd_g, upd_d, use_d = True, False, False
@@ -390,7 +406,7 @@ def train_flagship(
         step = get_step(use_d, upd_g, upd_d)
 
         key, k1 = jax.random.split(key)
-        if n > 1 and len({len(b) for b in batches}) == 1:
+        if n > 1 and len({len(b) for b, _ in batches}) == 1:
             it0 = jnp.asarray(iteration, jnp.float32)
             state, dstate_out, loss, ll1, ovf = run_chunk(
                 step, (use_d, upd_g, upd_d), state,
@@ -400,16 +416,17 @@ def train_flagship(
         else:
             # ragged batch sizes (tiny datasets): run the picked batches
             # one dispatch each — chunk_len guarantees no interior events
-            for bi, b in enumerate(batches):
+            for bi, (b, bw) in enumerate(batches):
                 cam_batch = stack_cameras(b)
+                wts_b = jnp.asarray(bw)
                 it = jnp.asarray(iteration + bi, jnp.float32)
                 kb = jax.random.fold_in(k1, bi)
                 if warm:
                     state, _, loss, ll1, ovf = step(state, None, cam_batch,
-                                                    it, kb, bg)
+                                                    it, kb, bg, wts_b)
                 else:
                     state, deform_state, loss, ll1, ovf = step(
-                        state, deform_state, cam_batch, it, kb, bg)
+                        state, deform_state, cam_batch, it, kb, bg, wts_b)
         iteration += n - 1
         if pbar is not None:
             pbar.update(n)

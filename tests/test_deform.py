@@ -139,3 +139,55 @@ def test_deform_update_changes_params():
     l1 = jax.tree.leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
     assert int(new_state.count) == 1
+
+
+def test_adaptive_matches_fixed_on_analytic_trajectory():
+    """Adaptive Dopri5 (the reference torchode controller semantics) and the
+    fixed-step RK4 grid integrator agree on a nonlinear analytic system at
+    the reference tolerances (scene/deform_model.py:61-78)."""
+    from d3gs_tpu.models.deform.ode import odeint_grid
+
+    def f(t, y):  # dy/dt = -y + sin(2πt): stiff-ish forced decay
+        return -y + jnp.sin(2.0 * jnp.pi * t)
+
+    y0 = jnp.asarray(np.random.default_rng(3).normal(size=(6, 3)),
+                     jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    ys_fix = odeint_grid(f, y0, ts, n_substeps=16)
+    ys_ada = odeint_adaptive(f, y0, ts, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ys_ada), np.asarray(ys_fix),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_handles_duplicate_fids_and_t0():
+    """Camera windows can repeat fids; the monotone repair keeps jax's
+    odeint happy and t=0 single-time integration returns y0 exactly."""
+    spec = DeformFieldSpec(kind="simple", solver="adaptive",
+                           rtol=1e-5, atol=1e-7)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(4))
+    xyz = jnp.asarray(np.random.default_rng(4).normal(size=(8, 3)),
+                      jnp.float32)
+    ts = jnp.asarray([0.0, 0.25, 0.25, 0.5])     # duplicate interior fid
+    ys, _, _ = field.step_multi(state.params, xyz, ts)
+    assert ys.shape == (4, 8, 3)
+    np.testing.assert_allclose(np.asarray(ys[1]), np.asarray(ys[2]),
+                               atol=1e-4)
+    y, _, _ = field.step(state.params, xyz, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xyz), atol=1e-6)
+
+
+def test_adaptive_is_differentiable():
+    """Gradients flow through the adjoint (AutoDiffAdjoint parity)."""
+    spec = DeformFieldSpec(kind="simple", solver="adaptive",
+                           rtol=1e-4, atol=1e-6)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(5))
+    xyz = jnp.ones((4, 3))
+
+    def loss(params):
+        ys, _, _ = field.step_multi(params, xyz,
+                                    jnp.asarray([0.0, 0.3, 0.7]))
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss)(state.params)
+    gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0.0

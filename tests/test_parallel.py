@@ -183,3 +183,69 @@ def test_camera_parallel_flagship_step_matches_single(mesh):
     for a, b in zip(jax.tree.leaves(p_dst.params),
                     jax.tree.leaves(s_dst.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_camera_parallel_ragged_batch_matches_single(mesh):
+    """Ragged k (k % n_dev != 0): the mesh step pads by repeating cameras
+    with 1/dup loss weights, so it must equal the single-device step on the
+    UNPADDED batch (no double-weighting of repeated cameras)."""
+    from d3gs_tpu.data.cameras import stack_cameras
+    from d3gs_tpu.parallel.sharded import make_flagship_camera_parallel_step
+    from d3gs_tpu.train.flagship import make_batched_step
+
+    cap = 512
+    gt = gt_state(n=150, cap=cap)
+    bg = jnp.zeros(3)
+    cams = []
+    for k in range(5):                       # 5 cameras on an 8-device mesh
+        cam = make_camera(angle=k * math.pi / 4, width=64, height=64)
+        out = render(gt, cam, bg=bg, tile_capacity=256, tile_chunk=8)
+        cams.append(dataclasses.replace(
+            cam, image=out.image, fid=jnp.asarray(k / 4.0, jnp.float32)))
+
+    rng = np.random.default_rng(2)
+    pts = np.asarray(gt.params.xyz[:150]) + \
+        rng.normal(scale=0.04, size=(150, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(150, 3)).astype(np.float32)
+    st0 = G.create_from_pcd(pts, cols, sh_degree=1, capacity=cap,
+                            spatial_lr_scale=4.0)
+    spec = DeformFieldSpec(kind="baseline", is_blender=True, D=2, W=32)
+    dstate0, field = create_deform_field(spec, jax.random.PRNGKey(0))
+
+    model_cfg = ModelParams(is_blender=True)
+    opt_cfg = OptimizationParams(position_lr_max_steps=100,
+                                 num_cams_per_iter=5)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=8)
+    key = jax.random.PRNGKey(0)
+
+    single = make_batched_step(
+        opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, update_gaussians=True, update_deform=True,
+        use_deform=True)
+    s_st, s_dst, s_loss, s_ll1, _ = single(
+        st0, dstate0, stack_cameras(cams), jnp.asarray(5.0), key, bg)
+
+    # pad 5 -> 8 by repeating cameras (as flagship pick_batch does), with
+    # 1/dup weights; keep fid-sorted order
+    padded = cams + [cams[0], cams[2], cams[2]]
+    padded.sort(key=lambda c: float(c.fid))
+    counts = {}
+    for c in padded:
+        counts[id(c)] = counts.get(id(c), 0) + 1
+    wts = jnp.asarray([1.0 / counts[id(c)] for c in padded], jnp.float32)
+
+    st_r = replicate(st0, mesh)
+    dst_r = replicate(dstate0, mesh)
+    par = make_flagship_camera_parallel_step(
+        mesh, opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, use_deform=True)
+    p_st, p_dst, p_loss, p_ll1, _ = par(
+        st_r, dst_r, stack_cameras(padded), jnp.asarray(5.0), key, bg, wts)
+
+    np.testing.assert_allclose(float(p_loss), float(s_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(p_ll1), float(s_ll1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_st.params.xyz),
+                               np.asarray(s_st.params.xyz), atol=2e-6)
+    for a, b in zip(jax.tree.leaves(p_dst.params),
+                    jax.tree.leaves(s_dst.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)

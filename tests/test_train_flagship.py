@@ -163,3 +163,26 @@ def test_flagship_camera_parallel_chunked():
     losses = [l for _, l in result.losses]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_flagship_ode_training_adaptive_solver():
+    """`--ode_solver adaptive` end-to-end: the flagship batched-ODE step
+    trains through Dopri5 + adjoint (reference deform_model.py:61-78)."""
+    cap = 256
+    gt, cams = make_dynamic_dataset(n_cams=6, cap=cap)
+    st = _fresh_model(gt, cap)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1, use_torch_ode=True,
+                            ode_solver="adaptive")
+    opt_cfg = OptimizationParams(
+        iterations=8, warm_up=3, sequence_length=6, num_cams_per_iter=2,
+        direct_compute=True, densify_from_iter=10_000,
+        opacity_reset_interval=10_000, position_lr_max_steps=8,
+        rtol=1e-4, atol=1e-6)
+    pipe_cfg = PipelineParams(tile_capacity=128, tile_chunk=16)
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:1],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(), progress=False,
+        log_every=4)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()

@@ -172,14 +172,25 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
 
 
 def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
-                gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
+                gmain_ref, rbuf, wbuf, pbuf, rsem, wsem, psem):
     """Single REVERSE sweep per tile (the CUDA backward's back-to-front
     replay, renderCUDA backward): walk blocks last→first carrying
     log-transmittance L = log T(after block) and the suffix sum
     S = Σ_{m>k} G_w_m w_m. Per-record transmittance is recovered as
     t_before_k = exp(L − Σ_{j≥k} log(1−α_j)) — log space, so deep
     saturated tiles underflow to exactly-zero weights instead of inf/NaN
-    from repeated division."""
+    from repeated division.
+
+    Single-stream gradient output: EVERY block of a nonempty tile goes
+    through the double-buffered write DMA. Adjacent tiles share at most
+    one slab block (segments are contiguous); TPU grid steps run
+    sequentially on the core, so when this tile's first block is shared
+    (starts[t] not block-aligned) the previous tile has already drained
+    its write of that block — we DMA it back in and ADD our lane-disjoint
+    contribution (both tiles zero non-owned lanes). This replaces the CUDA
+    backward's atomicAdd overlap handling (SURVEY §2.3) with a sequential
+    read-modify-write, and removes the per-tile edge output + the XLA-side
+    edge scatter/merge entirely."""
     t = pl.program_id(0)
     s0 = starts_ref[t]
     s1 = starts_ref[t + 1]
@@ -212,8 +223,14 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         return pltpu.make_async_copy(wbuf.at[slot], gmain_ref.at[b0 + b],
                                      wsem.at[slot])
 
-    edge_ref[0, 0] = jnp.zeros((_REC, KB), jnp.float32)
-    edge_ref[0, 1] = jnp.zeros((_REC, KB), jnp.float32)
+    # shared first block: the previous nonempty tile already wrote its
+    # lane-disjoint partial of block b0 — fetch it now, consumed at b == 0
+    shared = (cnt > 0) & ((s0 & (KB - 1)) != 0)
+    dma_p = pltpu.make_async_copy(gmain_ref.at[b0], pbuf, psem)
+
+    @pl.when(shared)
+    def _():
+        dma_p.start()
 
     @pl.when(b_eff > 0)
     def _():
@@ -282,7 +299,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     # reverse sweep: b = nb-1 .. 0; blocks >= b_eff (never processed by the
     # saturating fwd) get zero gradients and no slab read
     def bodyB(i, c):
-        lcarry, sfx, wcnt = c
+        lcarry, sfx = c
         b = nb - 1 - i
         slot = jax.lax.rem(b, 2)
 
@@ -302,45 +319,37 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         g_blk, lcarry, sfx = jax.lax.cond(b < b_eff, compute, zero,
                                           lcarry, sfx)
 
-        is_first = b == 0
-        is_last = b == nb - 1
+        def add_prior(gb):
+            dma_p.wait()
+            return gb + pbuf[...]
 
-        @pl.when(is_first)
+        g_blk = jax.lax.cond((b == 0) & shared, add_prior, lambda gb: gb,
+                             g_blk)
+
+        # write i targets block b0 + nb-1-i; wait for write i-2 before
+        # reusing its slot
+        wslot = jax.lax.rem(i, 2)
+
+        @pl.when(i >= 2)
         def _():
-            edge_ref[0, 0] = g_blk
+            dma_w(wslot, nb + 1 - i).wait()
 
-        @pl.when(is_last & jnp.logical_not(is_first))
-        def _():
-            edge_ref[0, 1] = g_blk
+        wbuf[wslot] = g_blk
+        dma_w(wslot, b).start()
 
-        interior = jnp.logical_not(is_first | is_last)
+        return (lcarry, sfx)
 
-        @pl.when(interior)
-        def _():
-            wslot = jax.lax.rem(wcnt, 2)
+    jax.lax.fori_loop(
+        0, nb, bodyB, (log_tend, jnp.zeros((P, 1), jnp.float32)))
 
-            @pl.when(wcnt >= 2)
-            def _():
-                # interior write k targets block nb-2-k; wait slot reuse
-                dma_w(wslot, nb - wcnt).wait()
-
-            wbuf[wslot] = g_blk
-            dma_w(wslot, b).start()
-
-        return (lcarry, sfx, wcnt + interior.astype(jnp.int32))
-
-    _, _, wcnt = jax.lax.fori_loop(
-        0, nb, bodyB,
-        (log_tend, jnp.zeros((P, 1), jnp.float32), jnp.int32(0)))
-
-    # drain outstanding interior writes (write k targeted block nb-2-k)
-    @pl.when(wcnt >= 2)
+    # drain the last two outstanding writes (blocks 1 and 0)
+    @pl.when(nb >= 2)
     def _():
-        dma_w(jax.lax.rem(wcnt, 2), nb - wcnt).wait()
+        dma_w(jax.lax.rem(nb - 2, 2), 1).wait()
 
-    @pl.when(wcnt >= 1)
+    @pl.when(nb >= 1)
     def _():
-        dma_w(jax.lax.rem(wcnt - 1, 2), nb - 1 - wcnt).wait()
+        dma_w(jax.lax.rem(nb - 1, 2), 0).wait()
 
 
 def _scan_cumsum(x, kcol):
@@ -827,17 +836,14 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec((1, 2, _REC, KB),
-                                    lambda t, *_: (t, 0, 0, 0),
-                                    memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[pltpu.VMEM((2, _REC, KB), jnp.float32),
                             pltpu.VMEM((2, _REC, KB), jnp.float32),
+                            pltpu.VMEM((_REC, KB), jnp.float32),
                             pltpu.SemaphoreType.DMA((2,)),
-                            pltpu.SemaphoreType.DMA((2,))]),
-        out_shape=[jax.ShapeDtypeStruct((mb, _REC, KB), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, 2, _REC, KB),
-                                        jnp.float32)],
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SemaphoreType.DMA]),
+        out_shape=[jax.ShapeDtypeStruct((mb, _REC, KB), jnp.float32)],
         interpret=interpret,
     )(starts, ox, oy, slab_blocks, g, out)
 
@@ -869,27 +875,32 @@ def _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
 def _core_bwd(num_tiles, interpret, pair, res, g):
     slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
-    g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
-                                 num_tiles=num_tiles, interpret=interpret,
-                                 pair=pair)
-
-    # merge the edge stream in BLOCK space: each tile's first/last block is
-    # one whole (16, KB) row — ~2T indices, per-index scatter cost is tiny.
-    # The kernel writes EVERY interior block of every tile (zeros beyond the
-    # forward's early-termination point), so the only unwritten-garbage rows
-    # inside [0, total) are the first/last blocks themselves: scatter-SET
-    # them to zero (duplicate indices all write 0 — order-safe), then
-    # scatter-add both edge copies. Blocks beyond `total` stay garbage;
-    # their gradient rows group into the discarded sentinel rank segment,
-    # and the reduction's cumsum prefix at positions <= total never sees
-    # them. This replaces a full (Mb,16,KB) interior-mask pass (~0.7 ms at
-    # M=393k) with two ~2T-row scatters.
-    eb0 = starts[:num_tiles] >> _LOG_KB                        # (T,)
-    cnt_t = starts[1:] - starts[:num_tiles]
-    eb1 = jnp.where(cnt_t > 0, (starts[1:] - 1) >> _LOG_KB, eb0)
-    e_blk = jnp.concatenate([eb0, eb1])
-    e_rows = jnp.concatenate([g_edge[:, 0], g_edge[:, 1]], axis=0)
-    g_all = g_main.at[e_blk].set(0.0).at[e_blk].add(e_rows)
+    if pair:
+        g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
+                                     num_tiles=num_tiles,
+                                     interpret=interpret, pair=pair)
+        # merge the edge stream in BLOCK space: each tile's first/last block
+        # is one whole (16, KB) row — ~2T indices, per-index scatter cost is
+        # tiny. The pair kernel writes every interior block of every tile
+        # (zeros beyond the forward's early-termination point), so the only
+        # unwritten-garbage rows inside [0, total) are the first/last blocks
+        # themselves: scatter-SET them to zero (duplicate indices all write
+        # 0 — order-safe), then scatter-add both edge copies. Blocks beyond
+        # `total` stay garbage; their gradient rows group into the discarded
+        # sentinel rank segment, and the reduction's cumsum prefix at
+        # positions <= total never sees them.
+        eb0 = starts[:num_tiles] >> _LOG_KB                    # (T,)
+        cnt_t = starts[1:] - starts[:num_tiles]
+        eb1 = jnp.where(cnt_t > 0, (starts[1:] - 1) >> _LOG_KB, eb0)
+        e_blk = jnp.concatenate([eb0, eb1])
+        e_rows = jnp.concatenate([g_edge[:, 0], g_edge[:, 1]], axis=0)
+        g_all = g_main.at[e_blk].set(0.0).at[e_blk].add(e_rows)
+    else:
+        # single-stream kernel: every block of every nonempty tile is
+        # written, shared boundary blocks already accumulated in-kernel
+        [g_all] = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
+                              num_tiles=num_tiles, interpret=interpret,
+                              pair=pair)
 
     # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
     # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): stably

@@ -1,0 +1,29 @@
+"""Small ODE net with 1e-5 output scaling, 40k iters.
+
+Preset parity with the reference recipe `arguments/ode_batch10_scale.py`; consumed by
+`train.py --configs configs/ode_batch10_scale.py` (d3gs_tpu.config.apply_config_file).
+"""
+
+ModelParams = dict(
+    is_ode=True,
+    D=4,
+    W=128,
+    max_gaussians=10000,
+    use_linear=0,
+    use_emb=True,
+    output_scale=1e-05,
+)
+
+OptimizationParams = dict(
+    scale_lr=False,
+    direct_compute=True,
+    sequence_length=30,
+    num_cams_per_iter=15,
+    spread_out_sequence=True,
+    position_lr_init=0.0001,
+    position_lr_final=1e-07,
+    rtol=0.0001,
+    atol=1e-05,
+    freeze_gaussians=False,
+    iterations=40000,
+)

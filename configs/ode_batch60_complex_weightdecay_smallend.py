@@ -1,0 +1,23 @@
+"""ODE, 60-frame windows, 30-camera batches, 1e-5 weight decay.
+
+Preset parity with the reference recipe `arguments/ode_batch60_complex_weightdecay_smallend.py`; consumed by
+`train.py --configs configs/ode_batch60_complex_weightdecay_smallend.py` (d3gs_tpu.config.apply_config_file).
+"""
+
+ModelParams = dict(
+    is_ode=True,
+    D=8,
+    W=256,
+    max_gaussians=10000,
+)
+
+OptimizationParams = dict(
+    scale_lr=False,
+    direct_compute=True,
+    sequence_length=60,
+    num_cams_per_iter=30,
+    spread_out_sequence=True,
+    position_lr_init=0.0001,
+    position_lr_final=1e-06,
+    weight_decay=1e-05,
+)

@@ -1,0 +1,22 @@
+"""ODE, 30-camera batches at a high 1e-3 position LR.
+
+Preset parity with the reference recipe `arguments/ode_batch_30_highlr.py`; consumed by
+`train.py --configs configs/ode_batch_30_highlr.py` (d3gs_tpu.config.apply_config_file).
+"""
+
+ModelParams = dict(
+    is_ode=True,
+    D=8,
+    W=256,
+    max_gaussians=10000,
+)
+
+OptimizationParams = dict(
+    scale_lr=False,
+    direct_compute=True,
+    sequence_length=30,
+    num_cams_per_iter=30,
+    spread_out_sequence=True,
+    position_lr_init=0.001,
+    position_lr_final=0.0001,
+)

@@ -84,6 +84,13 @@ class PipelineParams:
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single
+    mesh_mode: str = "camera"       # flagship multi-chip layout:
+                                # "camera" = camera batch sharded, params
+                                # replicated, one grad psum per step;
+                                # "gauss_tile" = Gaussians + tile rows
+                                # sharded, cameras replicated, per-camera
+                                # splat all-gather software-pipelined
+                                # against the blend (parallel/COMMS.md)
     train_matmul_precision: str = "bfloat16"
                                 # matmul passes inside TRAIN steps. The two
                                 # cancellation-amplifying contractions (the

@@ -90,14 +90,14 @@ def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
-         sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an (H, W, C) image pair.
+def ssim_map(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+             sigma: float = 1.5) -> jax.Array:
+    """Per-pixel SSIM map of an (H, W, C) image pair (`ssim` is its mean).
 
-    Same constants and window as the reference (utils/loss_utils.py:42-73):
-    C1 = 0.01^2, C2 = 0.03^2, uniform average over all pixels/channels.
-    All five blurred maps are computed in ONE pair of banded matmuls by
-    stacking along channels.
+    Exposed separately so sharded losses can blur a halo-extended image
+    strip and crop (parallel/sharded.py): a strip plus `window_size//2`
+    rows of true neighbor pixels reproduces the full-image map exactly
+    (zero halos at the outermost strips = the blur's SAME zero padding).
     """
     stack = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
@@ -109,9 +109,20 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     sigma2_sq = blurred[..., 3 * c:4 * c] - mu2_sq
     sigma12 = blurred[..., 4 * c:5 * c] - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
-    return jnp.mean(ssim_map)
+
+
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM over an (H, W, C) image pair.
+
+    Same constants and window as the reference (utils/loss_utils.py:42-73):
+    C1 = 0.01^2, C2 = 0.03^2, uniform average over all pixels/channels.
+    All five blurred maps are computed in ONE pair of banded matmuls by
+    stacking along channels.
+    """
+    return jnp.mean(ssim_map(img1, img2, window_size, sigma))
 
 
 def photometric_loss(pred: jax.Array, target: jax.Array,

@@ -28,7 +28,7 @@ from ..data.cameras import Camera
 from ..models import gaussians as G
 from ..ops.binning import (bin_splats, bin_splats_records,
                            bin_splats_sorted)
-from ..ops.losses import l1_loss, ssim
+from ..ops.losses import l1_loss, ssim, ssim_map
 from ..ops.projection import TILE, project_gaussians
 from ..ops.rasterize import blend, blend_records, pack_records
 from ..ops.sh import eval_sh_upto
@@ -202,6 +202,250 @@ def make_sharded_train_step(mesh: Mesh, *, opt_cfg, pipe_cfg,
             deform_state = field.update(deform_state, d_grads, iteration)
         return state, deform_state, ShardedAux(loss=loss, l1=ll1,
                                                radii=radii)
+
+    return step
+
+
+def make_flagship_gauss_tile_step(
+        mesh: Mesh, *, opt_cfg, pipe_cfg, model_cfg, field,
+        width: int, height: int, use_deform: bool = True,
+        update_gaussians: bool = True, update_deform: bool = True,
+        axis: str = AXIS):
+    """k-camera flagship step with Gaussians + tile rows sharded (the
+    gauss+tile layout of `make_sharded_train_step`, extended to the batched
+    trainer). Unlike the camera-parallel step below, the CAMERA batch is
+    replicated and the model axes are sharded:
+
+      * per-Gaussian state (params, Adam moments, densify stats) sharded on
+        the capacity axis — deform MLP + activations + SH + EWA projection
+        run on N/D local rows per camera (GSPMD outside, shard_map inside);
+      * per camera, the projected splats (~64 B/Gaussian) are all-gathered
+        over ICI and each device bins + blends its own strip of tile rows;
+      * the k cameras run under one `lax.scan` that **software-pipelines
+        the collective**: iteration c starts camera c+1's all-gather before
+        blending camera c, so XLA's async collectives can overlap the
+        gather with the Pallas blend (double buffering — the classic
+        weight-prefetch pattern, here applied to splats);
+      * the loss runs under GSPMD on the row-sharded (k, H, W, 3) images
+        (XLA inserts SSIM-blur halo exchanges), and gradients reverse
+        through the same collectives (all_gather ↔ reduce_scatter duals).
+
+    Per-step comms volume (see parallel/COMMS.md for the full model):
+    k · N · 64 B of splats all-gather (+ its reduce-scatter dual in the
+    backward) — independent of device count along a ring — versus the
+    camera-parallel step's per-step parameter psum of ~236 B/Gaussian.
+    Gauss+tile therefore wins when k is small or N is huge (memory-bound
+    scenes); camera-parallel wins at large k. Both are exact.
+
+    No ragged padding is needed (cameras are not sharded): any k works and
+    `wts` (if given) only reweights the camera mean.
+
+    Returns step(state, deform_state, cams, iteration, key, bg, wts) with
+    the same signature/semantics as the camera-parallel step (reference
+    loss semantics train.py:224-251).
+    """
+    if model_cfg.is_6dof:
+        raise NotImplementedError(
+            "gauss_tile mesh mode does not support is_6dof; use the "
+            "camera-parallel layout (--mesh_mode camera)")
+    from ..ops.sh import eval_sh_upto as _sh
+    n_dev = mesh.shape[axis]
+    tiles_x = _cdiv(width, TILE)
+    tiles_y_total = _cdiv(height, TILE)
+    tiles_y_local = _cdiv(tiles_y_total, n_dev)
+    strip_h = tiles_y_local * TILE
+    lambda_dssim = opt_cfg.lambda_dssim
+    direct = opt_cfg.direct_compute and field.spec.kind in (
+        "ode", "simple", "simple_start")
+    _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
+
+    halo = 11 // 2          # SSIM window half-width
+    assert strip_h >= halo, (
+        f"image strips of {strip_h} rows are thinner than the SSIM halo "
+        f"({halo}); use fewer devices for {height}px images")
+
+    def shard_fn(means3d_k, scales_k, rots_k, colors_k, opac, alive, tap,
+                 gt_k, viewmats, projmats, tanfov, bg):
+        k = viewmats.shape[0]
+
+        def project_one(c):
+            s = project_gaussians(
+                means3d_k[c], None, opac, colors_k[c], viewmats[c],
+                projmats[c], tanfov[0], tanfov[1], width, height,
+                antialias=pipe_cfg.antialias, alive=alive,
+                scales=scales_k[c], rotations=rots_k[c])
+            return s._replace(means2d=s.means2d + tap)
+
+        # local N/D-row projections for all k cameras (no comms)
+        splats_all = jax.lax.map(project_one, jnp.arange(k))
+        radii_l = jnp.max(splats_all.radii, axis=0)          # (Nl,)
+
+        def take(c):
+            return jax.tree.map(lambda x: x[c], splats_all)
+
+        def gather(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, tiled=True), tree)
+
+        binning = pipe_cfg.binning
+        if binning == "auto":
+            binning = "pallas" if jax.default_backend() == "tpu" \
+                else "packed"
+        my = jax.lax.axis_index(axis)
+        ty0 = my * tiles_y_local
+
+        def blend_one(splats):
+            if binning == "pallas":
+                from ..ops.pallas_blend import blend_records_pallas
+                rbins = bin_splats_records(
+                    jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                    tiles_y=tiles_y_local,
+                    dup_capacity=pipe_cfg.dup_capacity, tile_y0=ty0,
+                    tight_cull=pipe_cfg.tight_cull)
+                img, _, _ = blend_records_pallas(
+                    pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                    tiles_y=tiles_y_local, width=width, height=strip_h,
+                    interpret=jax.default_backend() != "tpu", tile_y0=ty0,
+                    pair=pipe_cfg.pair_tiles)
+            else:
+                rbins = bin_splats_records(
+                    jax.lax.stop_gradient(splats), tiles_x=tiles_x,
+                    tiles_y=tiles_y_local,
+                    dup_capacity=pipe_cfg.dup_capacity, tile_y0=ty0)
+                img, _, _ = blend_records(
+                    pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                    tiles_y=tiles_y_local, width=width, height=strip_h,
+                    tile_capacity=pipe_cfg.tile_capacity,
+                    tile_chunk=pipe_cfg.tile_chunk, tile_y0=ty0)
+            return img, jnp.max(rbins.counts)
+
+        def body(carry, c):
+            g_cur = carry
+            # prefetch camera c+1's splats: independent of the blend below,
+            # so the async all-gather rides ICI while the MXU/VPU blends
+            # camera c (the final iteration re-gathers k-1; one wasted
+            # gather in k keeps the scan body uniform)
+            g_nxt = gather(take(jnp.minimum(c + 1, k - 1)))
+            img, cnt = blend_one(g_cur)
+            return g_nxt, (img, cnt)
+
+        _, (imgs, cnts) = jax.lax.scan(body, gather(take(0)),
+                                       jnp.arange(k))
+        ovf = jax.lax.pmax(jnp.max(cnts), axis)
+
+        # ---- strip-local photometric loss with explicit halo exchange ----
+        # Blurring the row-sharded image under GSPMD turns the banded-
+        # matmul SSIM blur into a full-image all-reduce (measured by
+        # tools/scaling_model.py). Instead each device blurs its strip
+        # extended by `halo` rows of true neighbor pixels (2 ppermutes of
+        # 5·W·3 floats per camera) and psums scalar partial sums — the
+        # rendered strips never leave the device. Rows past `height`
+        # (tile-rounding pad) are zeroed so the crop equals the full-image
+        # map (SAME zero padding; outermost strips receive ppermute zeros).
+        rows = my * strip_h + jnp.arange(strip_h)
+        rmask = (rows < height).astype(imgs.dtype)[None, :, None, None]
+        im = imgs * rmask
+        gt = gt_k * rmask
+        perm_dn = [(i, i + 1) for i in range(n_dev - 1)]
+        perm_up = [(i + 1, i) for i in range(n_dev - 1)]
+
+        def halo_ext(x):
+            top = jax.lax.ppermute(x[:, -halo:], axis, perm_dn)
+            bot = jax.lax.ppermute(x[:, :halo], axis, perm_up)
+            return jnp.concatenate([top, x, bot], axis=1)
+
+        ime, gte = halo_ext(im), halo_ext(gt)
+
+        def per_cam_sums(c):
+            m = ssim_map(ime[c], gte[c])[halo:-halo]
+            return (jnp.sum(jnp.abs(im[c] - gt[c])),
+                    jnp.sum(m * rmask[0]))
+
+        l1s, ssims = jax.lax.map(per_cam_sums, jnp.arange(k))
+        l1s = jax.lax.psum(l1s, axis)
+        ssims = jax.lax.psum(ssims, axis)
+        return l1s, ssims, radii_l, ovf
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(axis), P(axis), P(axis),
+                  P(None, axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(axis), P()),
+        check_vma=False)
+
+    def loss_fn(g_params, d_params, tap, state, cams, bg, wts):
+        st = state.replace(params=g_params)
+        k = cams.fid.shape[0]
+        xyz = g_params.xyz
+        if use_deform:
+            sxyz = jax.lax.stop_gradient(xyz)
+            dxs, drs, dss = field.step_multi(d_params, sxyz,
+                                             jnp.sort(cams.fid), y0=sxyz)
+            if direct and isinstance(dxs, jax.Array) and dxs.ndim >= 3:
+                means3d_k = dxs
+            else:
+                means3d_k = xyz[None] + dxs
+        else:
+            means3d_k = jnp.broadcast_to(xyz[None], (k,) + xyz.shape)
+            drs = dss = jnp.zeros((k, 1, 1))
+        scales_k = jnp.broadcast_to(st.get_scaling[None] + dss,
+                                    (k,) + st.get_scaling.shape)
+        rots_k = jnp.broadcast_to(st.get_rotation[None] + drs,
+                                  (k,) + st.get_rotation.shape)
+        opac = st.get_opacity[:, 0]
+        dirs = means3d_k - cams.campos[:, None]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        colors_k = jnp.maximum(
+            jax.vmap(lambda d: _sh(st.max_sh_degree, st.active_sh_degree,
+                                   st.get_features, d))(dirs) + 0.5, 0.0)
+        tanfov = jnp.asarray([cams.tanfovx, cams.tanfovy], jnp.float32)
+        gt_pad = jnp.pad(cams.image,
+                         ((0, 0), (0, strip_h * n_dev - height),
+                          (0, 0), (0, 0)))
+        l1sums, ssimsums, radii, ovf = smapped(
+            means3d_k, scales_k, rots_k, colors_k, opac, st.alive, tap,
+            gt_pad, cams.viewmatrix, cams.projmatrix, tanfov, bg)
+        npix = float(height * width * 3)
+        ll1s = l1sums / npix
+        ssims = ssimsums / npix
+        losses = (1 - lambda_dssim) * ll1s + lambda_dssim * (1 - ssims)
+        wsum = jnp.sum(wts)
+        loss = jnp.sum(wts * losses) / wsum
+        ll1 = jnp.sum(wts * ll1s) / wsum
+        return loss, (ll1, radii, ovf)
+
+    @jax.jit
+    def step(state: G.GaussianState, deform_state, cams: Camera,
+             iteration, key, bg, wts: jax.Array | None = None):
+        # HIGHEST matmul precision for training — see train/step.py
+        with jax.default_matmul_precision(_train_prec):
+            return _step_impl(state, deform_state, cams, iteration, key, bg,
+                              wts)
+
+    def _step_impl(state, deform_state, cams, iteration, key, bg, wts=None):
+        tap0 = jnp.zeros((state.capacity, 2))
+        d_params = deform_state.params if deform_state is not None else None
+        w = jnp.ones_like(cams.fid) if wts is None else wts
+
+        def wrapped(gp, dp, tap):
+            return loss_fn(gp, dp, tap, state, cams, bg, w)
+
+        (loss, (ll1, radii, ovf)), (g_grads, d_grads, tap_grad) = \
+            jax.value_and_grad(wrapped, argnums=(0, 1, 2), has_aux=True)(
+                state.params, d_params, tap0)
+        if update_gaussians and not opt_cfg.freeze_gaussians:
+            lrs = G.group_learning_rates(opt_cfg, iteration,
+                                         state.spatial_lr_scale)
+            new_params, new_opt = G.adam_step(state.params, g_grads,
+                                              state.opt, lrs,
+                                              mask=state.alive)
+            state = state.replace(params=new_params, opt=new_opt)
+            state = G.add_densification_stats(state, tap_grad, radii)
+        if update_deform and use_deform and deform_state is not None:
+            deform_state = field.update(deform_state, d_grads, iteration)
+        return state, deform_state, loss, ll1, ovf
 
     return step
 

@@ -246,13 +246,26 @@ def train_flagship(
 
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
     k_cams = opt_cfg.num_cams_per_iter
+    gauss_tile = (mesh is not None
+                  and getattr(pipe_cfg, "mesh_mode", "camera") == "gauss_tile")
 
     steps = {}
 
     def get_step(use_deform, upd_g, upd_d):
         keyt = (use_deform, upd_g, upd_d)
         if keyt not in steps:
-            if mesh is not None:
+            if mesh is not None and gauss_tile:
+                # gauss+tile sharding: per-Gaussian state sharded on N,
+                # tile rows sharded, cameras replicated; per-camera splat
+                # all-gather pipelined against the blend (parallel/COMMS.md)
+                from ..parallel.sharded import make_flagship_gauss_tile_step
+                steps[keyt] = make_flagship_gauss_tile_step(
+                    mesh, opt_cfg=opt_cfg, pipe_cfg=pipe_cfg,
+                    model_cfg=model_cfg, field=field,
+                    width=train_cams[0].width, height=train_cams[0].height,
+                    use_deform=use_deform, update_gaussians=upd_g,
+                    update_deform=upd_d)
+            elif mesh is not None:
                 # camera-axis data parallelism: params replicated, camera
                 # batch sharded, one grad psum per step (parallel/sharded.py)
                 from ..parallel.sharded import \
@@ -356,7 +369,9 @@ def train_flagship(
     state = gaussians
     if mesh is not None:
         from ..parallel.mesh import replicate as _replicate
-        state = _replicate(state, mesh)
+        from ..parallel.mesh import shard_gaussian_state as _shard_state
+        state = _shard_state(state, mesh) if gauss_tile \
+            else _replicate(state, mesh)
         deform_state = _replicate(deform_state, mesh)
     result = TrainResult(state=state, deform_state=deform_state)
     stack: list[Camera] = []
@@ -380,7 +395,9 @@ def train_flagship(
         # camera-parallel mesh: the batch shards over devices, so pad to a
         # multiple of the mesh size by repeating cameras; each copy is
         # weighted 1/dup below so the padded loss equals the unpadded mean
-        while mesh is not None and len(picked) % n_dev != 0:
+        # (gauss_tile replicates the batch — no padding needed)
+        while mesh is not None and not gauss_tile \
+                and len(picked) % n_dev != 0:
             picked.append(picked[rng.randint(0, len(picked) - 1)])
         picked.sort(key=lambda c: float(c.fid))
         counts = {}

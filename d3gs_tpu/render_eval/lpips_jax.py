@@ -83,11 +83,31 @@ def lpips(params: dict, img1: jax.Array, img2: jax.Array) -> jax.Array:
 
 def load_params(path: Optional[str] = None) -> Optional[dict]:
     """Load LPIPS vgg weights from npz (path arg, LPIPS_WEIGHTS env, or
-    ./lpips_vgg.npz). Returns None when unavailable."""
-    path = path or os.environ.get("LPIPS_WEIGHTS", "lpips_vgg.npz")
+    ./lpips_vgg.npz).
+
+    Fails LOUDLY when weights were explicitly requested (a `path` argument
+    or the LPIPS_WEIGHTS env var) but cannot be loaded; returns None only
+    for the implicit default path, where the caller degrades to
+    LPIPS=null like the reference does when its download fails."""
+    explicit = path or os.environ.get("LPIPS_WEIGHTS")
+    path = explicit or "lpips_vgg.npz"
     if not os.path.exists(path):
+        if explicit:
+            raise FileNotFoundError(
+                f"LPIPS weights requested ({path}) but not found — export "
+                "them with lpips_jax.export_weights_from_torch() on a "
+                "machine with the pip lpips package, then point "
+                "LPIPS_WEIGHTS at the npz")
         return None
     raw = dict(np.load(path))
+    n_convs = sum(n for _, n in _VGG_STAGES)
+    missing = [k for k in
+               [f"conv{i}_{s}" for i in range(n_convs) for s in "wb"]
+               + [f"lin{i}_w" for i in range(len(_VGG_STAGES))]
+               if k not in raw]
+    if missing:
+        raise ValueError(f"LPIPS npz {path} is missing keys {missing[:4]}"
+                         f"{'…' if len(missing) > 4 else ''}")
     return {k: jnp.asarray(v) for k, v in raw.items()}
 
 

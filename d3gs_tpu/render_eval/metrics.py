@@ -36,16 +36,15 @@ def _read_images(renders_dir: str, gt_dir: str):
 
 def _try_lpips():
     # 1st choice: the pure-JAX LPIPS (render_eval/lpips_jax.py) with v0.1
-    # VGG weights from an npz (LPIPS_WEIGHTS env or ./lpips_vgg.npz)
-    try:
-        import jax
-        from . import lpips_jax
-        params = lpips_jax.load_params()
-        if params is not None:
-            f_jit = jax.jit(lambda a, b: lpips_jax.lpips(params, a, b))
-            return lambda a, b: float(f_jit(jnp.asarray(a), jnp.asarray(b)))
-    except Exception:
-        pass
+    # VGG weights from an npz (LPIPS_WEIGHTS env or ./lpips_vgg.npz).
+    # An explicitly-set LPIPS_WEIGHTS that fails to load RAISES (loud) —
+    # only the implicit default degrades to null.
+    import jax
+    from . import lpips_jax
+    params = lpips_jax.load_params()
+    if params is not None:
+        f_jit = jax.jit(lambda a, b: lpips_jax.lpips(params, a, b))
+        return lambda a, b: float(f_jit(jnp.asarray(a), jnp.asarray(b)))
     # fallback: the pip lpips package (what reference metrics.py:18-19 uses)
     try:
         import lpips  # noqa
@@ -66,6 +65,9 @@ def evaluate_dir(method_dir: str) -> dict:
     renders, gts, names = _read_images(os.path.join(method_dir, "renders"),
                                        os.path.join(method_dir, "gt"))
     lp = _try_lpips()
+    if lp is None:
+        print("metrics: no LPIPS weights (set LPIPS_WEIGHTS or install the "
+              "pip lpips package) — reporting LPIPS as null")
     per_view = {"PSNR": {}, "SSIM": {}, "LPIPS": {}}
     psnrs, ssims, lpipss = [], [], []
     for r, g, n in zip(renders, gts, names):

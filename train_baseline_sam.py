@@ -32,6 +32,13 @@ def main(argv=None):
     C.add_group_args(parser, C.OptimizationParams)
     parser.add_argument("--mask_dir", type=str, default="",
                         help="directory of per-image label maps")
+    parser.add_argument("--segmenter", type=str, default="auto",
+                        choices=["auto", "sam2", "slic", "grid"],
+                        help="mask source when --mask_dir is not given: "
+                             "generate + cache from the raw images (sam2 "
+                             "when importable, slic superpixels otherwise; "
+                             "reference train_baseline_sam.py:177-198) or "
+                             "a plain grid")
     parser.add_argument("--mask_weight", type=float, default=0.5)
     parser.add_argument("--num_masks", type=int, default=64)
     parser.add_argument("--test_iterations", nargs="+", type=int,
@@ -71,10 +78,17 @@ def main(argv=None):
         if missing:
             print(f"warning: {len(missing)} images have no mask; "
                   "grid fallback used for those")
+    elif args.segmenter != "grid":
+        # generate + cache masks from the raw training images, the
+        # reference's end-to-end flow (train_baseline_sam.py:177-198)
+        from d3gs_tpu.train.segment import load_or_generate_label_maps
+        maps = load_or_generate_label_maps(
+            train_cams, model_cfg.source_path, args.num_masks,
+            method=args.segmenter, progress=not args.quiet)
     else:
         maps = {}
-        print("no --mask_dir: using regular-grid segmentation as a weak "
-              "rigidity prior")
+        print("--segmenter grid: using regular-grid segmentation as a "
+              "weak rigidity prior")
 
     label_cache = {}
     for c in train_cams:

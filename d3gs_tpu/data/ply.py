@@ -33,34 +33,41 @@ class PlyVertexData(NamedTuple):
     names: tuple              # property names in file order
 
 
+def _read_header(f):
+    """Parse the PLY header from an open binary file; leaves the file
+    positioned at the payload. Returns (fmt, counts, props)."""
+    header_lines = []
+    while True:
+        line = f.readline().decode("ascii").strip()
+        header_lines.append(line)
+        if line == "end_header":
+            break
+    fmt = None
+    counts = {}
+    props = []  # (elem, name, dtype)
+    cur_elem = None
+    for line in header_lines:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            cur_elem = parts[1]
+            counts[cur_elem] = int(parts[2])
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                props.append((cur_elem, parts[-1],
+                              ("list", parts[2], parts[3])))
+            else:
+                props.append((cur_elem, parts[-1], _PLY_TO_NP[parts[1]]))
+    return fmt, counts, props
+
+
 def read_ply(path: str) -> PlyVertexData:
     """Read the `vertex` element of a PLY file (binary LE or ascii)."""
     with open(path, "rb") as f:
-        header_lines = []
-        while True:
-            line = f.readline().decode("ascii").strip()
-            header_lines.append(line)
-            if line == "end_header":
-                break
-        fmt = None
-        counts = {}
-        props = []  # (elem, name, dtype)
-        cur_elem = None
-        for line in header_lines:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "format":
-                fmt = parts[1]
-            elif parts[0] == "element":
-                cur_elem = parts[1]
-                counts[cur_elem] = int(parts[2])
-            elif parts[0] == "property":
-                if parts[1] == "list":
-                    props.append((cur_elem, parts[-1], ("list", parts[2], parts[3])))
-                else:
-                    props.append((cur_elem, parts[-1], _PLY_TO_NP[parts[1]]))
-
+        fmt, counts, props = _read_header(f)
         v_props = [(n, d) for e, n, d in props if e == "vertex"]
         if any(isinstance(d, tuple) for _, d in v_props):
             raise ValueError("list properties on vertex element unsupported")
@@ -89,10 +96,15 @@ def read_ply(path: str) -> PlyVertexData:
         return PlyVertexData(out, names)
 
 
+_NATIVE_MIN_N = 1 << 17          # below this numpy's copy is already fast
+
+
 def write_ply(path: str, arrays: dict[str, np.ndarray]) -> None:
     """Write a binary little-endian PLY with one `vertex` element.
 
     `arrays` maps property name -> (N,) array; insertion order is file order.
+    All-float32 checkpoints at large N take the native SoA→AoS transpose
+    (native/ply_io.cpp) instead of numpy's per-property strided scatter.
     """
     names = list(arrays)
     n = len(arrays[names[0]])
@@ -111,12 +123,47 @@ def write_ply(path: str, arrays: dict[str, np.ndarray]) -> None:
         cols.append(a)
     header.write("end_header\n")
 
-    out = np.empty(n, dtype=dtype_fields)
-    for name, a in zip(names, cols):
-        out[name] = a
+    payload = None
+    if n >= _NATIVE_MIN_N and all(k == "<f4" for _, k in dtype_fields):
+        from ..native import transpose_f32_native
+        t = transpose_f32_native(np.stack(cols))       # (P, N) -> (N, P)
+        if t is not None:
+            payload = t.tobytes()
+    if payload is None:
+        out = np.empty(n, dtype=dtype_fields)
+        for name, a in zip(names, cols):
+            out[name] = a
+        payload = out.tobytes()
     with open(path, "wb") as f:
         f.write(header.getvalue().encode("ascii"))
-        f.write(out.tobytes())
+        f.write(payload)
+
+
+def read_ply_columns(path: str):
+    """Column-oriented reader for all-float32 checkpoints: returns
+    ({name: (N,) f32}, names). AoS→SoA decode goes through the native
+    blocked transpose when available; non-f32 or ascii files fall back to
+    `read_ply` (a structured array also supports `v[name]`)."""
+    with open(path, "rb") as f:
+        fmt, counts, props = _read_header(f)
+        v_props = [(n, d) for e, n, d in props if e == "vertex"]
+        names = tuple(n for n, _ in v_props)
+        nvert = counts.get("vertex", 0)
+        first_elem = props[0][0] if props else "vertex"
+        if (fmt == "binary_little_endian" and first_elem == "vertex"
+                and nvert >= _NATIVE_MIN_N
+                and all(d == "f4" for _, d in v_props)):
+            p = len(v_props)
+            buf = f.read(4 * p * nvert)
+            aos = np.frombuffer(buf, "<f4", count=p * nvert) \
+                .reshape(nvert, p)
+            from ..native import transpose_f32_native
+            soa = transpose_f32_native(aos)
+            if soa is None:
+                soa = np.ascontiguousarray(aos.T)
+            return {nm: soa[i] for i, nm in enumerate(names)}, names
+    v, names = read_ply(path)
+    return {nm: v[nm] for nm in names}, names
 
 
 def read_pointcloud_ply(path: str):

@@ -22,7 +22,7 @@ from .dataset_readers import (SceneData, read_colmap_scene,
                               read_dtu_scene, read_dynamic360_scene,
                               read_nerf_synthetic, read_nerfies_scene,
                               read_plenoptic_scene)
-from .ply import read_ply, write_ply
+from .ply import read_ply_columns, write_ply
 
 SceneInfo = SceneData
 
@@ -190,7 +190,7 @@ def load_gaussians_ply(path: str, *, sh_degree: int = 3,
     """Load a 3DGS-format checkpoint (also reads reference-produced files;
     reference load_ply :192-240 incl. max_gaussians subsampling)."""
     import jax.numpy as jnp
-    v, names = read_ply(path)
+    v, names = read_ply_columns(path)
     n = len(v["x"])
     sel = np.arange(n)
     if n > max_gaussians:

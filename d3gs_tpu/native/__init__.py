@@ -47,6 +47,34 @@ def _build_and_load(name: str, sources: list[str]):
         return lib
 
 
+def ply_lib():
+    lib = _build_and_load("d3gs_ply", ["ply_io.cpp"])
+    if lib is not None and not hasattr(lib, "_configured"):
+        lib.ply_transpose_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.ply_transpose_f32.restype = ctypes.c_int
+        lib._configured = True
+    return lib
+
+
+def transpose_f32_native(arr: np.ndarray) -> np.ndarray | None:
+    """Blocked multithreaded (R, C) f32 -> (C, R) transpose-copy — the hot
+    op of Gaussian-checkpoint PLY encode/decode (AoS on disk vs SoA in
+    memory). Returns None if the native build is unavailable (callers fall
+    back to numpy)."""
+    lib = ply_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    rows, cols = a.shape
+    out = np.empty((cols, rows), np.float32)
+    rc = lib.ply_transpose_f32(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
+
+
 def knn_lib():
     lib = _build_and_load("d3gs_knn", ["knn.cpp"])
     if lib is not None and not hasattr(lib, "_configured"):

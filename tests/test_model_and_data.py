@@ -118,6 +118,42 @@ def test_ply_roundtrip(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_ply_native_fast_path_roundtrip(tmp_path):
+    """All-f32 checkpoints above the native threshold go through the C++
+    blocked transpose on write AND read; bytes must equal the numpy path
+    and decode to identical columns."""
+    from d3gs_tpu.data import ply as P
+    from d3gs_tpu.native import transpose_f32_native
+
+    rng = np.random.default_rng(0)
+    n = P._NATIVE_MIN_N + 7
+    arrays = {f"c{i}": rng.standard_normal(n).astype(np.float32)
+              for i in range(5)}
+    fast = os.path.join(tmp_path, "fast.ply")
+    P.write_ply(fast, arrays)
+
+    slow = os.path.join(tmp_path, "slow.ply")
+    try:
+        P._NATIVE_MIN_N = 1 << 62          # force the numpy path
+        P.write_ply(slow, arrays)
+        with open(fast, "rb") as f1, open(slow, "rb") as f2:
+            assert f1.read() == f2.read()
+        cols_np, names = P.read_ply_columns(fast)   # numpy decode
+    finally:
+        P._NATIVE_MIN_N = 1 << 17
+    cols_nat, names2 = P.read_ply_columns(fast)     # native decode
+    assert names == names2 == tuple(arrays)
+    for nm in arrays:
+        np.testing.assert_array_equal(cols_nat[nm], arrays[nm])
+        np.testing.assert_array_equal(cols_np[nm], arrays[nm])
+
+    # the raw transpose against numpy, non-multiple-of-block shapes
+    a = rng.standard_normal((1 << 20 | 13, 7)).astype(np.float32)
+    t = transpose_f32_native(a)
+    if t is not None:                       # native build available
+        np.testing.assert_array_equal(t, a.T)
+
+
 def test_sh_degree_ramp():
     st = make_state()
     for _ in range(5):

@@ -77,10 +77,15 @@ def train_baseline(
     progress: bool = True,
     extra_loss_fn=None,
     aux_data_fn=None,
+    live_hook=None,
 ) -> TrainResult:
     """`extra_loss_fn` / `aux_data_fn(camera) -> pytree` add a per-camera
     differentiable regularizer to the deform-phase loss (the SAM-variant
-    trainer wires mask-consistency through these, train_baseline_sam.py)."""
+    trainer wires mask-consistency through these, train_baseline_sam.py).
+    `live_hook(state, deform_state, field, iteration)` fires every
+    log_every iterations with the LIVE training state — the GUI / network
+    viewer renders from it (reference network_gui/train-loop interleave,
+    train_baseline.py:57-71)."""
     rng = Random(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -305,6 +310,8 @@ def train_baseline(
             if pbar is not None:
                 pbar.set_postfix(loss=f"{ema_loss:.4f}",
                                  pts=int(state.num_alive))
+            if live_hook is not None:
+                live_hook(state, deform_state, field, iteration)
 
         if iteration in test_iterations:
             psnrs = []

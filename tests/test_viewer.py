@@ -68,3 +68,53 @@ def test_network_viewer_roundtrip():
     # sign flips applied
     wvt = got["cam"].world_view_transform
     np.testing.assert_allclose(np.diag(wvt), [1, -1, -1, 1], atol=1e-6)
+
+
+def test_gui_headless_test_step():
+    """The GUI logic (orbit interaction, fid animation, rgb/depth modes,
+    FPS stats) works without dearpygui — test_step renders frames from a
+    state exactly like the reference's test_step (train_gui.py:644-710)."""
+    import jax.numpy as jnp
+
+    from d3gs_tpu.viewer.gui import GUI
+    from tests.test_train_static import gt_state
+
+    st = gt_state(n=80, cap=256)
+    gui = GUI(st, width=64, height=64, radius=3.0)
+    gui.playing = False
+    gui.fid = 0.25
+    assert gui.current_fid() == 0.25
+    gui.playing = True
+    assert 0.0 <= gui.current_fid() < 1.0
+
+    f1 = gui.test_step()
+    assert f1.shape == (64, 64, 3) and np.isfinite(f1).all()
+    assert gui.infer_ms > 0 and gui.fps > 0
+
+    # orbit interaction must change the view
+    gui.cam.orbit(120.0, 40.0)
+    gui.cam.scale(1.0)
+    gui.cam.pan(10.0, 5.0)
+    f2 = gui.test_step()
+    assert np.abs(f2 - f1).max() > 1e-4
+
+    # depth display mode
+    gui.mode = "depth"
+    fd = gui.test_step()
+    assert fd.shape == (64, 64, 3) and float(fd.max()) <= 1.0 + 1e-6
+    assert np.abs(fd - f2).max() > 1e-4
+
+    # deform_fn hook is applied
+    calls = {}
+
+    def deform_fn(xyz, fid):
+        calls["fid"] = float(fid)
+        return jnp.ones_like(xyz) * 0.3, 0.0, 0.0
+
+    gui.mode = "rgb"
+    gui.deform_fn = deform_fn
+    gui.playing = False
+    gui.fid = 0.5
+    f3 = gui.test_step()
+    assert calls["fid"] == 0.5
+    assert np.abs(f3 - f2).max() > 1e-4

@@ -26,11 +26,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.gaussians import GaussianState
 
 AXIS = "shard"
+CAM_AXIS = "cam"
 
 
 def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(devices, cam: int, shard: int,
+                 cam_axis: str = CAM_AXIS, axis_name: str = AXIS) -> Mesh:
+    """(cam × shard) mesh for the composed flagship layout: the camera
+    batch shards over `cam` groups (DCN-friendly: one grad psum) and
+    Gaussians + tile rows shard over `shard` within each group (ICI:
+    per-camera splat all-gather) — parallel/COMMS.md 'Multi-host story'."""
+    devices = np.asarray(devices[:cam * shard]).reshape(cam, shard)
+    return Mesh(devices, (cam_axis, axis_name))
 
 
 def gaussian_state_spec(axis_name: str = AXIS):

@@ -210,7 +210,7 @@ def make_flagship_gauss_tile_step(
         mesh: Mesh, *, opt_cfg, pipe_cfg, model_cfg, field,
         width: int, height: int, use_deform: bool = True,
         update_gaussians: bool = True, update_deform: bool = True,
-        axis: str = AXIS):
+        axis: str = AXIS, cam_axis: str | None = None):
     """k-camera flagship step with Gaussians + tile rows sharded (the
     gauss+tile layout of `make_sharded_train_step`, extended to the batched
     trainer). Unlike the camera-parallel step below, the CAMERA batch is
@@ -239,6 +239,13 @@ def make_flagship_gauss_tile_step(
 
     No ragged padding is needed (cameras are not sharded): any k works and
     `wts` (if given) only reweights the camera mean.
+
+    With `cam_axis` set (a 2D mesh from mesh.make_mesh_2d), the camera
+    batch ALSO shards over `cam_axis` — the composed layout: camera data
+    parallelism across groups (one grad psum, DCN-tolerant) × gauss+tile
+    model parallelism within each group (splat all-gather on ICI). k must
+    then divide by mesh.shape[cam_axis] (the flagship trainer pads with
+    1/dup-weighted repeats exactly as for the camera layout).
 
     Returns step(state, deform_state, cams, iteration, key, bg, wts) with
     the same signature/semantics as the camera-parallel step (reference
@@ -276,9 +283,11 @@ def make_flagship_gauss_tile_step(
                 scales=scales_k[c], rotations=rots_k[c])
             return s._replace(means2d=s.means2d + tap)
 
-        # local N/D-row projections for all k cameras (no comms)
+        # local N/D-row projections for all local cameras (no comms)
         splats_all = jax.lax.map(project_one, jnp.arange(k))
         radii_l = jnp.max(splats_all.radii, axis=0)          # (Nl,)
+        if cam_axis is not None:
+            radii_l = jax.lax.pmax(radii_l, cam_axis)
 
         def take(c):
             return jax.tree.map(lambda x: x[c], splats_all)
@@ -331,7 +340,9 @@ def make_flagship_gauss_tile_step(
 
         _, (imgs, cnts) = jax.lax.scan(body, gather(take(0)),
                                        jnp.arange(k))
-        ovf = jax.lax.pmax(jnp.max(cnts), axis)
+        ovf = jax.lax.pmax(
+            jnp.max(cnts),
+            axis if cam_axis is None else (axis, cam_axis))
 
         # ---- strip-local photometric loss with explicit halo exchange ----
         # Blurring the row-sharded image under GSPMD turns the banded-
@@ -366,12 +377,13 @@ def make_flagship_gauss_tile_step(
         ssims = jax.lax.psum(ssims, axis)
         return l1s, ssims, radii_l, ovf
 
+    ca = cam_axis            # None -> cameras replicated over the mesh
     smapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, axis),
-                  P(None, axis), P(axis), P(axis), P(axis),
-                  P(None, axis), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(axis), P()),
+        in_specs=(P(ca, axis), P(ca, axis), P(ca, axis),
+                  P(ca, axis), P(axis), P(axis), P(axis),
+                  P(ca, axis), P(ca), P(ca), P(), P()),
+        out_specs=(P(ca), P(ca), P(axis), P()),
         check_vma=False)
 
     def loss_fn(g_params, d_params, tap, state, cams, bg, wts):

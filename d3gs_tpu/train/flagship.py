@@ -248,6 +248,13 @@ def train_flagship(
     k_cams = opt_cfg.num_cams_per_iter
     gauss_tile = (mesh is not None
                   and getattr(pipe_cfg, "mesh_mode", "camera") == "gauss_tile")
+    from ..parallel.mesh import CAM_AXIS
+    cam_axis = CAM_AXIS if (gauss_tile and mesh is not None
+                            and CAM_AXIS in mesh.shape) else None
+    # batches must divide the camera-sharded axis: the full mesh for the
+    # camera layout, the cam axis of a 2D gauss_tile mesh, 1 otherwise
+    pad_to = (1 if gauss_tile else n_dev) if cam_axis is None \
+        else mesh.shape[cam_axis]
 
     steps = {}
 
@@ -264,7 +271,7 @@ def train_flagship(
                     model_cfg=model_cfg, field=field,
                     width=train_cams[0].width, height=train_cams[0].height,
                     use_deform=use_deform, update_gaussians=upd_g,
-                    update_deform=upd_d)
+                    update_deform=upd_d, cam_axis=cam_axis)
             elif mesh is not None:
                 # camera-axis data parallelism: params replicated, camera
                 # batch sharded, one grad psum per step (parallel/sharded.py)
@@ -392,12 +399,11 @@ def train_flagship(
         n_pick = max(1, min(k_cams, len(stack)))
         picked = [stack.pop(rng.randint(0, len(stack) - 1))
                   for _ in range(n_pick)]
-        # camera-parallel mesh: the batch shards over devices, so pad to a
-        # multiple of the mesh size by repeating cameras; each copy is
-        # weighted 1/dup below so the padded loss equals the unpadded mean
-        # (gauss_tile replicates the batch — no padding needed)
-        while mesh is not None and not gauss_tile \
-                and len(picked) % n_dev != 0:
+        # camera-sharded meshes: pad the batch to a multiple of the
+        # camera axis by repeating cameras; each copy is weighted 1/dup
+        # below so the padded loss equals the unpadded mean (a 1D
+        # gauss_tile mesh replicates the batch — pad_to == 1)
+        while mesh is not None and len(picked) % pad_to != 0:
             picked.append(picked[rng.randint(0, len(picked) - 1)])
         picked.sort(key=lambda c: float(c.fid))
         counts = {}

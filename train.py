@@ -104,13 +104,18 @@ def main(argv=None):
     mesh = None
     if pipe_cfg.mesh_shape:
         import jax
-        from d3gs_tpu.parallel.mesh import make_mesh
+        from d3gs_tpu.parallel.mesh import make_mesh, make_mesh_2d
+        parts = [int(p) for p in pipe_cfg.mesh_shape.lower().split("x")]
         n = 1
-        for part in pipe_cfg.mesh_shape.lower().split("x"):
-            n *= int(part)
+        for p in parts:
+            n *= p
         assert len(jax.devices()) >= n, \
             f"--mesh_shape {pipe_cfg.mesh_shape} needs {n} devices"
-        mesh = make_mesh(jax.devices()[:n])
+        if len(parts) == 2 and pipe_cfg.mesh_mode == "gauss_tile":
+            # composed layout: cameras over axis 0, gauss+tile over axis 1
+            mesh = make_mesh_2d(jax.devices(), parts[0], parts[1])
+        else:
+            mesh = make_mesh(jax.devices()[:n])
 
     if args.trainer == "baseline":
         if mesh is not None:

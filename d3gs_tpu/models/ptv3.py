@@ -127,6 +127,61 @@ class _MLP(nn.Module):
         return nn.Dense(self.out)(x)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth on a residual branch (reference DropPath via timm,
+    Block:582-601): the whole branch is dropped for the cloud with prob
+    `rate` during training and rescaled by 1/keep otherwise."""
+    rate: float
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate <= 0.0:
+            return x
+        keep = 1.0 - self.rate
+        b = jax.random.bernoulli(self.make_rng("droppath"), keep)
+        return jnp.where(b, x / keep, jnp.zeros_like(x))
+
+
+class PDNorm(nn.Module):
+    """Point-decoupled norm (reference PDNorm:255-293): one LayerNorm per
+    dataset condition (`decouple`), optionally modulated by a context
+    vector (`adaptive`: SiLU→Dense→(scale, shift)). `condition` is the
+    static index into `conditions`."""
+    num_features: int
+    conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, condition: int = 0, context=None):
+        if self.decouple:
+            # LN statistics depend only on the input; decoupling = one
+            # affine (scale, bias) pair per condition. Materializing every
+            # condition's params (vs one nn.LayerNorm per branch) keeps
+            # init complete and lets `condition` be a traced index.
+            nf = self.num_features
+            scales = jnp.stack([
+                self.param(f"norm_{c}_scale", nn.initializers.ones, (nf,))
+                for c in self.conditions])
+            biases = jnp.stack([
+                self.param(f"norm_{c}_bias", nn.initializers.zeros, (nf,))
+                for c in self.conditions])
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+            x = (x - mu) / jnp.sqrt(var + 1e-6)
+            x = x * scales[condition] + biases[condition]
+        else:
+            x = nn.LayerNorm()(x)
+        if self.adaptive:
+            assert context is not None, "adaptive PDNorm needs a context"
+            mod = nn.Dense(2 * self.num_features)(nn.silu(context))
+            scale, shift = jnp.split(mod, 2, axis=-1)
+            x = x * (1.0 + scale) + shift
+        return x
+
+
 class SerializedAttention(nn.Module):
     """Windowed MHA over patches of the curve-sorted order
     (reference SerializedAttention:319-491)."""
@@ -156,12 +211,14 @@ class SerializedAttention(nn.Module):
 
 
 class Block(nn.Module):
-    """xCPE + attention + MLP with pre-norm residuals
-    (reference Block:519-607)."""
+    """xCPE + attention + MLP with pre-norm residuals and per-block
+    stochastic depth (reference Block:519-607)."""
     channels: int
     num_heads: int
     patch_size: int
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, sort_idx, inv_idx, mask):
@@ -175,13 +232,14 @@ class Block(nn.Module):
         cpe = left * w[0] + xs * w[1] + right * w[2]
         x = x + cpe[inv_idx] * mask[:, None]
 
+        dp = DropPath(self.drop_path, deterministic=self.deterministic)
         h = nn.LayerNorm()(x)
         h = SerializedAttention(self.channels, self.num_heads,
                                 self.patch_size)(h, sort_idx, inv_idx, mask)
-        x = x + h
+        x = x + dp(h)
         h = nn.LayerNorm()(x)
         h = _MLP(int(self.channels * self.mlp_ratio), self.channels)(h)
-        return x + h * mask[:, None]
+        return x + dp(h * mask[:, None])
 
 
 def _sort_and_inverse(code, mask):
@@ -246,24 +304,63 @@ class PointTransformerV3(nn.Module):
     patch_size: int = 48
     orders: Sequence[str] = _ORDERS
     curve_depth: int = 10
+    drop_path: float = 0.3        # stochastic-depth cap (reference :805)
+    shuffle_orders: bool = True   # random order permutation per stage
+    pdnorm_ln: bool = False       # PDNorm for embedding/pool/unpool norms
+    pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
 
     @nn.compact
-    def __call__(self, feats, grid, mask):
+    def __call__(self, feats, grid, mask, *, deterministic: bool = True,
+                 condition: int = 0):
+        """Training mode (deterministic=False) needs 'droppath' and
+        'orders' rng streams; condition indexes pdnorm_conditions when
+        pdnorm_ln is set (reference forward contract, Point.condition)."""
         mask = mask.astype(jnp.float32)
         n_stages = len(self.enc_depths)
 
-        def run_blocks(x, g, m, depth, channels, heads):
-            codes = {o: serialize(g, o, self.curve_depth)
-                     for o in self.orders}
+        # per-block stochastic-depth rates, linspace over all blocks of
+        # each trunk exactly like the reference (:870-876, :919-926)
+        def _rates(depths):
+            tot = sum(depths)
+            flat = [self.drop_path * i / max(tot - 1, 1)
+                    for i in range(tot)]
+            out, ofs = [], 0
+            for d in depths:
+                out.append(flat[ofs:ofs + d])
+                ofs += d
+            return out
+        enc_dp = _rates(self.enc_depths)
+        dec_dp = _rates(self.dec_depths)
+
+        def norm(x, m):
+            if self.pdnorm_ln:
+                x = PDNorm(x.shape[-1],
+                           conditions=tuple(self.pdnorm_conditions))(
+                    x, condition)
+            else:
+                x = nn.LayerNorm()(x)
+            return x * m[:, None]
+
+        def run_blocks(x, g, m, depth, channels, heads, dp_rates):
+            codes = jnp.stack([serialize(g, o, self.curve_depth)
+                               for o in self.orders])       # (O, N)
+            n_ord = len(self.orders)
+            if self.shuffle_orders and not deterministic:
+                perm = jax.random.permutation(self.make_rng("orders"),
+                                              n_ord)
+            else:
+                perm = jnp.arange(n_ord)
             for b in range(depth):
-                order = self.orders[b % len(self.orders)]
-                si, ii = _sort_and_inverse(codes[order], m)
-                x = Block(channels, heads, self.patch_size)(x, si, ii, m)
+                code = codes[perm[b % n_ord]]
+                si, ii = _sort_and_inverse(code, m)
+                x = Block(channels, heads, self.patch_size,
+                          drop_path=dp_rates[b],
+                          deterministic=deterministic)(x, si, ii, m)
             return x
 
         # embedding (reference Embedding:753-784; conv -> dense)
         x = nn.Dense(self.enc_channels[0])(feats)
-        x = nn.LayerNorm()(x)
+        x = norm(x, mask)
         x = nn.gelu(x) * mask[:, None]
 
         # encoder: per level keep (features, grid, mask); pooling also
@@ -275,11 +372,12 @@ class PointTransformerV3(nn.Module):
                 pooled, g, parent, m_new = grid_pool(
                     x, g, lambda c: z_order_encode(c, self.curve_depth), m)
                 x = nn.Dense(self.enc_channels[s])(pooled)
-                x = nn.LayerNorm()(x) * m_new[:, None]
+                x = norm(x, m_new)
                 parents.append(parent)
                 m = m_new
             x = run_blocks(x, g, m, self.enc_depths[s],
-                           self.enc_channels[s], self.enc_heads[s])
+                           self.enc_channels[s], self.enc_heads[s],
+                           enc_dp[s])
             enc_x.append(x)
             enc_g.append(g)
             enc_m.append(m)
@@ -290,7 +388,8 @@ class PointTransformerV3(nn.Module):
             x = x[parents[s]]                      # broadcast to children
             x = jnp.concatenate([x, enc_x[s]], axis=-1)
             x = nn.Dense(self.dec_channels[s])(x)
-            x = nn.LayerNorm()(x) * enc_m[s][:, None]
+            x = norm(x, enc_m[s])
             x = run_blocks(x, enc_g[s], enc_m[s], self.dec_depths[s],
-                           self.dec_channels[s], self.dec_heads[s])
+                           self.dec_channels[s], self.dec_heads[s],
+                           dec_dp[s])
         return x * enc_m[0][:, None]

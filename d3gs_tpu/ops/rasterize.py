@@ -58,6 +58,36 @@ def pack_records(splats: ProjectedSplats) -> jax.Array:
     ], axis=-1)
 
 
+def pack_records_full(splats: ProjectedSplats) -> jax.Array:
+    """`pack_records` plus the binning fields in the pad lanes (10-14:
+    tile_min x/y, tile_max x/y, visible — small ints, exact in f32). One
+    (N, 16) row then carries everything a remote shard needs, so the
+    sharded k-camera pipeline all-gathers ONE array per camera instead of
+    the nine-leaf ProjectedSplats tree (parallel/sharded.py). The blend
+    kernels read only lanes 0-9, so the same array feeds them directly."""
+    n = splats.depths.shape[0]
+    return jnp.concatenate([
+        pack_records(splats)[:, :10],
+        splats.tile_min.astype(jnp.float32),
+        splats.tile_max.astype(jnp.float32),
+        splats.visible.astype(jnp.float32)[:, None],
+        jnp.zeros((n, RECORD_WIDTH - 15), jnp.float32),
+    ], axis=-1)
+
+
+def unpack_records_full(rec: jax.Array) -> ProjectedSplats:
+    """Inverse of `pack_records_full` (radii are not carried: the stats
+    radii stay on the owning shard)."""
+    n = rec.shape[0]
+    return ProjectedSplats(
+        means2d=rec[:, 0:2], depths=rec[:, 9], conics=rec[:, 2:5],
+        radii=jnp.zeros((n,), jnp.int32), colors=rec[:, 5:8],
+        opacities=rec[:, 8],
+        tile_min=rec[:, 10:12].astype(jnp.int32),
+        tile_max=rec[:, 12:14].astype(jnp.int32),
+        visible=rec[:, 14] > 0.5)
+
+
 class RenderOutput(NamedTuple):
     image: jax.Array    # (H, W, 3)
     depth: jax.Array    # (H, W) expected depth (unnormalized, like the fork)

@@ -30,7 +30,8 @@ from ..ops.binning import (bin_splats, bin_splats_records,
                            bin_splats_sorted)
 from ..ops.losses import l1_loss, ssim, ssim_map
 from ..ops.projection import TILE, project_gaussians
-from ..ops.rasterize import blend, blend_records, pack_records
+from ..ops.rasterize import (blend, blend_records, pack_records,
+                             pack_records_full, unpack_records_full)
 from ..ops.sh import eval_sh_upto
 from .mesh import AXIS
 
@@ -281,20 +282,23 @@ def make_flagship_gauss_tile_step(
                 projmats[c], tanfov[0], tanfov[1], width, height,
                 antialias=pipe_cfg.antialias, alive=alive,
                 scales=scales_k[c], rotations=rots_k[c])
-            return s._replace(means2d=s.means2d + tap)
+            s = s._replace(means2d=s.means2d + tap)
+            # one packed (Nl, 16) row per splat: blend lanes + tile rect +
+            # visibility, so the per-camera collective is ONE all-gather
+            # instead of the nine-leaf ProjectedSplats tree
+            return pack_records_full(s), s.radii
 
         # local N/D-row projections for all local cameras (no comms)
-        splats_all = jax.lax.map(project_one, jnp.arange(k))
-        radii_l = jnp.max(splats_all.radii, axis=0)          # (Nl,)
+        recs_all, radii_all = jax.lax.map(project_one, jnp.arange(k))
+        radii_l = jnp.max(radii_all, axis=0)                 # (Nl,)
         if cam_axis is not None:
             radii_l = jax.lax.pmax(radii_l, cam_axis)
 
         def take(c):
-            return jax.tree.map(lambda x: x[c], splats_all)
+            return recs_all[c]
 
-        def gather(tree):
-            return jax.tree.map(
-                lambda x: jax.lax.all_gather(x, axis, tiled=True), tree)
+        def gather(rec):
+            return jax.lax.all_gather(rec, axis, tiled=True)
 
         binning = pipe_cfg.binning
         if binning == "auto":
@@ -303,26 +307,25 @@ def make_flagship_gauss_tile_step(
         my = jax.lax.axis_index(axis)
         ty0 = my * tiles_y_local
 
-        def blend_one(splats):
+        def blend_one(rec):
+            splats = unpack_records_full(jax.lax.stop_gradient(rec))
             if binning == "pallas":
                 from ..ops.pallas_blend import blend_records_pallas
                 rbins = bin_splats_records(
-                    jax.lax.stop_gradient(splats), tiles_x=tiles_x,
-                    tiles_y=tiles_y_local,
+                    splats, tiles_x=tiles_x, tiles_y=tiles_y_local,
                     dup_capacity=pipe_cfg.dup_capacity, tile_y0=ty0,
                     tight_cull=pipe_cfg.tight_cull)
                 img, _, _ = blend_records_pallas(
-                    pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                    rec, rbins, bg, tiles_x=tiles_x,
                     tiles_y=tiles_y_local, width=width, height=strip_h,
                     interpret=jax.default_backend() != "tpu", tile_y0=ty0,
                     pair=pipe_cfg.pair_tiles)
             else:
                 rbins = bin_splats_records(
-                    jax.lax.stop_gradient(splats), tiles_x=tiles_x,
-                    tiles_y=tiles_y_local,
+                    splats, tiles_x=tiles_x, tiles_y=tiles_y_local,
                     dup_capacity=pipe_cfg.dup_capacity, tile_y0=ty0)
                 img, _, _ = blend_records(
-                    pack_records(splats), rbins, bg, tiles_x=tiles_x,
+                    rec, rbins, bg, tiles_x=tiles_x,
                     tiles_y=tiles_y_local, width=width, height=strip_h,
                     tile_capacity=pipe_cfg.tile_capacity,
                     tile_chunk=pipe_cfg.tile_chunk, tile_y0=ty0)

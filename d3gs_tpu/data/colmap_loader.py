@@ -129,8 +129,12 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 def read_images_text(path: str) -> dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.startswith("#")]
+        # keep blank lines: the POINTS2D line following each image line
+        # may be legitimately empty (zero observations) and the format is
+        # strictly line-paired — dropping blanks would mis-pair entries
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    while lines and not lines[0]:
+        lines.pop(0)
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         iid = int(parts[0])

@@ -83,7 +83,10 @@ class PipelineParams:
                                 # in XLA), so the scan loop is the default
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
-    mesh_shape: str = ""            # e.g. "4x2" gauss×tile mesh; "" = single
+    mesh_shape: str = ""            # "8" = 1D mesh; "CxS" with
+                                # mesh_mode=gauss_tile = composed 2D mesh
+                                # (C camera groups x S-way gauss+tile
+                                # sharding, parallel/COMMS.md); "" = single
     mesh_mode: str = "camera"       # flagship multi-chip layout:
                                 # "camera" = camera batch sharded, params
                                 # replicated, one grad psum per step;

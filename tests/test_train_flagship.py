@@ -104,6 +104,36 @@ def test_flagship_camera_parallel_training():
     assert losses[-1] < losses[0]
 
 
+def test_flagship_gauss_tile_training():
+    """Full flagship host loop with the gauss+tile layout on a composed
+    (2 cam x 2 shard) mesh: sharded state through warm-up, deform phase,
+    densification and eval."""
+    import jax
+    from d3gs_tpu.parallel.mesh import make_mesh_2d
+
+    cap = 1024
+    gt, cams = make_dynamic_dataset(cap=cap)
+    st = _fresh_model(gt, cap)
+    mesh = make_mesh_2d(jax.devices(), 2, 2)
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=30, warm_up=10, sequence_length=8, num_cams_per_iter=4,
+        densify_from_iter=12, densify_until_iter=28,
+        densification_interval=8, opacity_reset_interval=10_000,
+        position_lr_max_steps=30, deform_lr_max_steps=30)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=16,
+                              mesh_mode="gauss_tile")
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:2],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(30,), progress=False,
+        log_every=5, mesh=mesh)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert result.best_psnr > 0
+
+
 def test_flagship_steps_per_dispatch_bit_identical():
     """Chunked multi-step dispatch must reproduce the single-step flagship
     loop exactly (is_blender, no densify randomness)."""

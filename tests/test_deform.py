@@ -255,3 +255,64 @@ def test_deform_mlp_matches_reference_torch_forward(is_blender):
         is_blender=is_blender)
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w_, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_linear", [0, 1, 2, 3, 4])
+def test_ode_dynamics_matches_reference_torch_forward(use_linear):
+    """Weight-ported cross-check of DeformNetworkODE's five use_linear
+    ablations against a torch replica of the reference forward
+    (time_utils.py:393-438)."""
+    import torch
+
+    from d3gs_tpu.models.deform.networks import DeformNetworkODE
+    m = DeformNetworkODE(D=3, W=16, multires=3, is_blender=(use_linear == 0),
+                         use_linear=use_linear, use_emb=True,
+                         output_scale=0.7, skips=(1,))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 3)).astype(np.float32)
+    t = np.float32(0.37)
+    p = m.init(jax.random.PRNGKey(2), jnp.asarray(t), jnp.asarray(x))
+    got = np.asarray(m.apply(p, jnp.asarray(t), jnp.asarray(x)))
+
+    seq = [p["params"][k]["Dense_0"] for k in sorted(
+        p["params"], key=lambda s: int(s.split("_")[-1]))]
+
+    def linear(h, pr):
+        return h @ torch.tensor(np.asarray(pr["kernel"])) + \
+            torch.tensor(np.asarray(pr["bias"]))
+
+    def embed(v, mm):
+        outs = [v]
+        for f in 2.0 ** np.arange(mm):
+            outs += [torch.sin(v * f), torch.cos(v * f)]
+        return torch.cat(outs, -1)
+
+    xt = torch.tensor(x)
+    tt = torch.full((5, 1), float(t))
+    t_emb = embed(tt, 6 if use_linear == 0 else 10)
+    x_emb = embed(xt, 3)
+    if use_linear == 1:
+        want = linear(torch.cat([x_emb, t_emb], -1), seq[0]) * 0.7
+    elif use_linear == 2:
+        d = x_emb.shape[-1]
+        A = linear(t_emb, seq[0]).view(-1, d, d)
+        b = linear(t_emb, seq[1])
+        want = (torch.bmm(A, x_emb.unsqueeze(-1)).squeeze(-1) + b) * 0.7
+    elif use_linear == 3:
+        want = linear(x_emb, seq[0]) * 0.7
+    elif use_linear == 4:
+        zt = linear(x_emb[:, 2:3], seq[0])
+        want = torch.cat([torch.zeros_like(x_emb[:, :2]), zt], 1) * 0.7
+    else:
+        import torch.nn.functional as F
+        t_emb = linear(F.relu(linear(t_emb, seq[0])), seq[1])
+        h = torch.cat([x_emb, t_emb], -1)
+        inp = h
+        i = 2
+        for li in range(3):
+            h = F.relu(linear(h, seq[i]))
+            i += 1
+            if li == 1:
+                h = torch.cat([inp, h], -1)
+        want = linear(h, seq[i]) * 0.7
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5)

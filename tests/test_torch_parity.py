@@ -69,3 +69,96 @@ def test_full_gradient_field_matches_torch_autograd():
         np.testing.assert_allclose(jg / scale, tg / scale, atol=2e-3,
                                    err_msg=f"gradient mismatch: {name}")
         assert np.abs(tg).max() > 0, f"degenerate oracle grad: {name}"
+
+
+def test_training_loss_gradients_match_torch(monkeypatch):
+    """The full photometric-loss gradient chain — raw params through
+    activations (exp scaling, sigmoid opacity, quat normalize), degree-0 SH
+    colors, the renderer, and (1-λ)L1 + λ(1-SSIM) — against torch autograd
+    over the independent torch implementations (reference train.py:245-247
+    loss; loss_utils.py SSIM)."""
+    import torch
+
+    from d3gs_tpu.models import gaussians as G
+    from d3gs_tpu.models.renderer import render
+    from d3gs_tpu.ops.losses import l1_loss, ssim
+    from tests.test_train_static import make_camera
+    from tests.torch_reference import render_torch
+
+    n, cap = 80, 128
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+    cols = rng.uniform(0.2, 1.0, size=(n, 3)).astype(np.float32)
+    st = G.create_from_pcd(pts, cols, sh_degree=0, capacity=cap)
+    # anisotropic scales + non-identity quats: isotropic covariances make
+    # rotation gradients analytically zero (degenerate for this check)
+    aniso = rng.normal(scale=0.4, size=(cap, 3)).astype(np.float32)
+    quats = rng.normal(size=(cap, 4)).astype(np.float32)
+    quats[:, 0] += 2.0
+    st = st.replace(params=st.params._replace(
+        scaling=jnp.where(jnp.arange(cap)[:, None] < n,
+                          st.params.scaling + 1.0 + aniso,
+                          st.params.scaling),
+        rotation=jnp.asarray(quats)))
+    gt_img = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    cam = make_camera(0.3, width=32, height=32, image=gt_img)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    lam = 0.2
+
+    def loss_jax(xyz, scaling, rotation, opacity, f_dc):
+        p = st.params._replace(xyz=xyz, scaling=scaling, rotation=rotation,
+                               opacity=opacity, features_dc=f_dc)
+        out = render(st.replace(params=p), cam, bg=bg, tile_capacity=256,
+                     tile_chunk=8)
+        return (1 - lam) * l1_loss(out.image, cam.image) + lam * (
+            1 - ssim(out.image, cam.image))
+
+    g_jax = jax.grad(loss_jax, argnums=(0, 1, 2, 3, 4))(
+        st.params.xyz, st.params.scaling, st.params.rotation,
+        st.params.opacity, st.params.features_dc)
+
+    # ---- torch replica on the alive rows ----
+    C0 = 0.28209479177387814
+    raw = [torch.tensor(np.asarray(a)[:n], dtype=torch.float64,
+                        requires_grad=True)
+           for a in (st.params.xyz, st.params.scaling, st.params.rotation,
+                     st.params.opacity, st.params.features_dc)]
+    xyz, scaling, rotation, opacity, f_dc = raw
+    colors = torch.clamp(C0 * f_dc[:, 0] + 0.5, min=0.0)
+    img, _, _ = render_torch(
+        xyz, torch.exp(scaling), rotation, torch.sigmoid(opacity)[:, 0],
+        colors, torch.tensor(np.asarray(cam.viewmatrix), dtype=torch.float64),
+        torch.tensor(np.asarray(cam.projmatrix), dtype=torch.float64),
+        cam.tanfovx, cam.tanfovy, 32, 32,
+        torch.tensor(np.asarray(bg), dtype=torch.float64))
+
+    def ssim_t(a, b):
+        c = a.shape[0]
+        x = torch.arange(11, dtype=torch.float64) - 5
+        g = torch.exp(-x ** 2 / (2 * 1.5 ** 2))
+        g = g / g.sum()
+        w = (g[:, None] @ g[None, :]).expand(c, 1, 11, 11)
+        conv = lambda t: torch.nn.functional.conv2d(t[None], w, padding=5,
+                                                    groups=c)[0]
+        mu1, mu2 = conv(a), conv(b)
+        m1s, m2s, m12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1, s2 = conv(a * a) - m1s, conv(b * b) - m2s
+        s12 = conv(a * b) - m12
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        return (((2 * m12 + c1) * (2 * s12 + c2)) /
+                ((m1s + m2s + c1) * (s1 + s2 + c2))).mean()
+
+    gt_t = torch.tensor(np.asarray(gt_img), dtype=torch.float64)
+    it, gtt = img.permute(2, 0, 1), gt_t.permute(2, 0, 1)
+    loss = (1 - lam) * (img - gt_t).abs().mean() + lam * (
+        1 - ssim_t(it, gtt))
+    loss.backward()
+
+    names = ["xyz", "scaling", "rotation", "opacity", "features_dc"]
+    for name, jg, t in zip(names, g_jax, raw):
+        tg = t.grad.numpy()
+        jg = np.asarray(jg, np.float64)[:n]
+        scale = np.abs(tg).max() + 1e-12
+        assert scale > 0, name
+        np.testing.assert_allclose(jg / scale, tg / scale, atol=3e-3,
+                                   err_msg=f"grad mismatch: {name}")

@@ -26,7 +26,8 @@ class GUI:
     def __init__(self, render_state, *, width: int = 800, height: int = 800,
                  radius: float = 2.5, fovy_deg: float = 60.0,
                  deform_fn=None, render_fn=None,
-                 anim_period: float = 4.0):
+                 anim_period: float = 4.0, n_frames: int = 0,
+                 fps_of_fid: float = 10.0):
         """render_state: GaussianState (may be swapped while training).
         deform_fn(xyz, fid) -> (d_xyz, d_rot, d_scale) or None for static.
         render_fn(state, camera, d_xyz, d_rot, d_scale) -> output with
@@ -39,6 +40,10 @@ class GUI:
         self.mode = "rgb"                 # "rgb" | "depth"
         self.playing = True               # animate fid from the wall clock
         self.anim_period = anim_period    # seconds per fid \in [0,1) loop
+        # with a known train-frame count, use the reference's exact rate:
+        # fid = t * fps_of_fid / n_frames % 1 (train_gui.py:655-664)
+        self.n_frames = n_frames
+        self.fps_of_fid = fps_of_fid
         self.fid = 0.0                    # manual fid when not playing
         self.training = False
         self._trainer = None
@@ -56,7 +61,10 @@ class GUI:
     def current_fid(self) -> float:
         """Wall-clock animation over [0, 1) (reference :655-664)."""
         if self.playing:
-            return ((time.time() - self._t0) / self.anim_period) % 1.0
+            dt = time.time() - self._t0
+            if self.n_frames > 0:
+                return (dt * self.fps_of_fid / self.n_frames) % 1.0
+            return (dt / self.anim_period) % 1.0
         return float(self.fid)
 
     def _camera(self):

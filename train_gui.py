@@ -94,7 +94,8 @@ def main(argv=None):
         gui = GUI(scene.gaussians, width=args.gui_size,
                   height=args.gui_size, radius=args.radius,
                   deform_fn=jax.jit(deform_fn),
-                  render_fn=jitted_view_render())
+                  render_fn=jitted_view_render(),
+                  n_frames=len(scene.get_train_cameras()))
         if use_gui:
             print(f"viewing {model_cfg.model_path} "
                   f"(iteration {scene.loaded_iter})")
@@ -108,7 +109,8 @@ def main(argv=None):
 
     scene = Scene(model_cfg, capacity=pipe_cfg.capacity, seed=args.seed)
     gui = GUI(scene.gaussians, width=args.gui_size, height=args.gui_size,
-              radius=args.radius, render_fn=jitted_view_render())
+              radius=args.radius, render_fn=jitted_view_render(),
+              n_frames=len(scene.get_train_cameras()))
 
     if use_gui:
         gui.setup()

@@ -80,7 +80,9 @@ def train_distill(
         kind="simple_start" if model_cfg.use_torch_ode else "ode",
         is_blender=model_cfg.is_blender, D=model_cfg.D, W=model_cfg.W,
         multires=model_cfg.multires, use_linear=model_cfg.use_linear,
-        use_emb=model_cfg.use_emb, output_scale=model_cfg.output_scale)
+        use_emb=model_cfg.use_emb, output_scale=model_cfg.output_scale,
+        solver=getattr(model_cfg, "ode_solver", "rk4"),
+        rtol=opt_cfg.rtol, atol=opt_cfg.atol)
     key, k0 = jax.random.split(key)
     student_state, student_field = create_deform_field(spec, k0, opt_cfg)
 

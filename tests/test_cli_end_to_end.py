@@ -121,3 +121,22 @@ def test_blender_reader_roundtrip(tmp_path):
                                np.asarray(want.viewmatrix), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cam.projmatrix),
                                np.asarray(want.projmatrix), atol=1e-5)
+
+
+def test_sweep_runner(tmp_path):
+    """train_loops.py: one flagship run + output subdir per sequence length
+    (reference train_loops.py:46-68)."""
+    import train_loops
+
+    data = str(tmp_path / "data")
+    write_blender_dataset(data, n_train=4, n_test=1, size=32)
+    out = str(tmp_path / "sweep")
+    train_loops.main([
+        "-s", data, "-m", out, "--eval", "--is_blender", "--quiet",
+        "--iterations", "8", "--warm_up", "4", "--num_cams_per_iter", "2",
+        "--tile_capacity", "128", "--tile_chunk", "8",
+        "--position_lr_max_steps", "8", "--sequence_lengths", "2", "4"])
+    for seq in (2, 4):
+        d = os.path.join(out, f"seq_{seq}")
+        assert os.path.exists(os.path.join(d, "cfg_args"))
+        assert os.path.isdir(os.path.join(d, "point_cloud", "iteration_8"))

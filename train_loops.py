@@ -15,6 +15,7 @@ def main(argv=None):
     parser.add_argument("--sequence_lengths", nargs="+", type=int,
                         default=[30, 40, 50, 60])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
     model_cfg = C.extract_group(args, C.ModelParams)
@@ -42,7 +43,8 @@ def main(argv=None):
             model_cfg=m, opt_cfg=o, pipe_cfg=pipe_cfg,
             test_iterations={o.iterations},
             save_iterations={o.iterations},
-            model_path=m.model_path, seed=args.seed)
+            model_path=m.model_path, seed=args.seed,
+            progress=not args.quiet)
         results[seq_len] = res.best_psnr
         print(f"sequence_length={seq_len}: best PSNR {res.best_psnr:.2f}")
     print(results)

@@ -51,3 +51,45 @@ def test_sample_trajectories_cli(tmp_path):
     assert traj.shape[0] == 5 and traj.shape[2] == 3
     assert ts.shape == (5,)
     assert np.isfinite(traj).all()
+
+
+def test_distill_and_forecast_clis(tmp_path):
+    """train_synth_gau.py from a trained baseline checkpoint, then
+    forecast.py over exported trajectories — the reference's offline
+    pipeline (components 11, 16, 17) end-to-end at toy scale."""
+    import forecast as forecast_cli
+    import sample_trajectories
+    import train as train_cli
+    import train_synth_gau
+    from tests.test_cli_end_to_end import write_blender_dataset
+
+    data = str(tmp_path / "data")
+    write_blender_dataset(data, n_train=3, n_test=1, size=32)
+    base = str(tmp_path / "base")
+    train_cli.main(["-s", data, "-m", base, "--eval", "--is_blender",
+                    "--trainer", "baseline", "--iterations", "6",
+                    "--warm_up", "2", "--quiet", "--sh_degree", "0",
+                    "--tile_capacity", "128", "--tile_chunk", "8",
+                    "--test_iterations", "6", "--save_iterations", "6",
+                    "--position_lr_max_steps", "6"])
+    out = str(tmp_path / "distill")
+    # the blender reader random-initializes 100k points (reference
+    # :284-295); subsample the teacher via max_gaussians (reference load_ply
+    # parity) to keep the CPU ODE rollout small
+    train_synth_gau.main(["-s", data, "-m", out, "--is_blender", "--quiet",
+                          "--base_model_path", base,
+                          "--distill_iterations", "6", "--data_size", "4",
+                          "--batch_time", "3", "--tile_capacity", "128",
+                          "--tile_chunk", "8", "--test_iterations", "6",
+                          "--max_gaussians", "512"])
+    assert os.path.isdir(out)
+
+    sample_trajectories.main(["-m", base, "--num_timesteps", "12"])
+    fdir = str(tmp_path / "fc")
+    forecast_cli.main(["--trajectories",
+                       os.path.join(base, "trajectories.npy"),
+                       "--output_dir", fdir, "--past_len", "4",
+                       "--future_len", "2", "--stride", "2",
+                       "--d_model", "16", "--epochs", "1",
+                       "--batch_size", "8"])
+    assert os.path.isdir(fdir) and len(os.listdir(fdir)) > 0

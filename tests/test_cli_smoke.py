@@ -93,3 +93,46 @@ def test_distill_and_forecast_clis(tmp_path):
                        "--d_model", "16", "--epochs", "1",
                        "--batch_size", "8"])
     assert os.path.isdir(fdir) and len(os.listdir(fdir)) > 0
+
+
+def test_convert_cli_command_assembly(tmp_path):
+    """convert.py drives a fake colmap executable; verify the reference's
+    command sequence (feature_extractor/exhaustive_matcher/mapper/
+    image_undistorter, convert.py:30-96) plus the resize pyramid."""
+    import subprocess
+    import sys as _sys
+
+    import imageio.v2 as imageio
+
+    src = tmp_path / "scene"
+    (src / "input").mkdir(parents=True)
+    img = np.zeros((16, 16, 3), np.uint8)
+    imageio.imwrite(str(src / "input" / "0.png"), img)
+
+    log = tmp_path / "calls.log"
+    fake = tmp_path / "fake_colmap"
+    fake.write_text(
+        "#!/bin/sh\n"
+        f"echo \"$@\" >> {log}\n"
+        # image_undistorter must create images/ + sparse/ like colmap does
+        "case \"$1\" in image_undistorter)\n"
+        f"  mkdir -p {src}/images {src}/sparse\n"
+        f"  cp {src}/input/0.png {src}/images/0.png\n"
+        f"  touch {src}/sparse/cameras.bin ;;\n"
+        "esac\n")
+    fake.chmod(0o755)
+
+    import convert
+    convert.main(["-s", str(src), "--colmap_executable", str(fake),
+                  "--no_gpu", "--resize"])
+    calls = log.read_text().splitlines()
+    subcmds = [c.split()[0] for c in calls]
+    assert subcmds == ["feature_extractor", "exhaustive_matcher", "mapper",
+                       "image_undistorter"]
+    assert "--SiftExtraction.use_gpu 0" in calls[0]
+    # moved into sparse/0 and resize pyramid emitted
+    assert os.path.exists(os.path.join(src, "sparse", "0", "cameras.bin"))
+    for div in (2, 4, 8):
+        out = os.path.join(src, f"images_{div}", "0.png")
+        assert os.path.exists(out)
+        assert imageio.imread(out).shape[0] == 16 // div

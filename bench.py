@@ -115,6 +115,17 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
+
+    def _watchdog(signum, frame):
+        # a dead axon tunnel HANGS inside PJRT init/compile rather than
+        # raising; convert that into the error JSON line instead of
+        # blocking the driver forever
+        raise TimeoutError("bench watchdog: no result within 30 min "
+                           "(TPU tunnel unreachable or compile stuck)")
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(1800)
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line

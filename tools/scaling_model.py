@@ -176,6 +176,8 @@ def main():
                          "hide behind (blend share of the step)")
     ap.add_argument("--ici_gbps", type=float, default=90.0,
                     help="effective ring GB/s per chip (v5e ~2x45)")
+    ap.add_argument("--dcn_gbps", type=float, default=25.0,
+                    help="cross-host GB/s per host for the composed model")
     args = ap.parse_args()
 
     n_dev = min(8, jax.device_count())
@@ -211,6 +213,29 @@ def main():
                     "collective_bytes": cb["total"] * scale,
                     "modeled_step_ms": round(t, 3),
                     "modeled_efficiency": round(eff, 4)}))
+
+    # composed 2-level layout across hosts: C camera groups over DCN
+    # (one ~236 B/gaussian grad psum/step) x S-way gauss+tile inside each
+    # host over ICI (splat gathers + halos stay intra-group). DCN ~25 GB/s
+    # per host (scaling-book order of magnitude; override --dcn_gbps).
+    prod_n = 100_000
+    psum_bytes = 236 * prod_n
+    ici_bytes = 128 * prod_n * args.k  # splat gather + bwd dual per group
+    print("\n[composed CxS] modeled at N=100,000 "
+          f"(DCN {args.dcn_gbps} GB/s outer, ICI {args.ici_gbps} GB/s "
+          "inner):")
+    for c, s in ((2, 4), (4, 4), (4, 8)):
+        t_comp = args.step_ms / (c * s)
+        t_dcn = psum_bytes * (c - 1) / c / (args.dcn_gbps * 1e9) * 1e3
+        t_ici = max(0.0, ici_bytes * (s - 1) / s / (args.ici_gbps * 1e9)
+                    * 1e3 - args.blend_frac * t_comp)
+        t = t_comp + t_dcn + t_ici
+        eff = t_comp / t
+        print(f"    C={c} x S={s} ({c * s:>2} chips): step {t:7.2f} ms  "
+              f"efficiency {eff:5.1%}")
+        print(json.dumps({"layout": "composed", "C": c, "S": s,
+                          "modeled_step_ms": round(t, 3),
+                          "modeled_efficiency": round(eff, 4)}))
 
 
 if __name__ == "__main__":

@@ -115,20 +115,33 @@ def main():
 
 
 if __name__ == "__main__":
-    import signal
+    import os
+    import threading
 
-    def _watchdog(signum, frame):
-        # a dead axon tunnel HANGS inside PJRT init/compile rather than
-        # raising; convert that into the error JSON line instead of
-        # blocking the driver forever
-        raise TimeoutError("bench watchdog: no result within 30 min "
-                           "(TPU tunnel unreachable or compile stuck)")
+    def _watchdog():
+        # a dead axon tunnel HANGS inside a single non-returning PJRT C
+        # call, where a SIGALRM python handler would never run (the main
+        # thread never re-enters the eval loop). A daemon THREAD can still
+        # print the error JSON line and hard-exit the process so the
+        # driver is never left without output.
+        print(json.dumps({
+            "metric": "train_step_throughput_43k_gaussians_400x400",
+            "value": 0.0,
+            "unit": "Mrays/s/chip (fwd+bwd+opt)",
+            "vs_baseline": 0.0,
+            "error": "bench watchdog: no result within 30 min (TPU "
+                     "tunnel unreachable or compile stuck)",
+        }), flush=True)
+        os._exit(0)
 
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(1800)
+    timer = threading.Timer(1800, _watchdog)
+    timer.daemon = True
+    timer.start()
     try:
         main()
+        timer.cancel()
     except Exception as e:  # never leave the driver without a JSON line
+        timer.cancel()
         print(json.dumps({
             "metric": "train_step_throughput_43k_gaussians_400x400",
             "value": 0.0,

@@ -135,6 +135,8 @@ def read_images_text(path: str) -> dict[int, ColmapImage]:
         lines = [l.strip() for l in f if not l.startswith("#")]
     while lines and not lines[0]:
         lines.pop(0)
+    while lines and not lines[-1]:       # trailing newline(s)
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         iid = int(parts[0])

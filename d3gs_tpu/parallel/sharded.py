@@ -256,7 +256,6 @@ def make_flagship_gauss_tile_step(
         raise NotImplementedError(
             "gauss_tile mesh mode does not support is_6dof; use the "
             "camera-parallel layout (--mesh_mode camera)")
-    from ..ops.sh import eval_sh_upto as _sh
     n_dev = mesh.shape[axis]
     tiles_x = _cdiv(width, TILE)
     tiles_y_total = _cdiv(height, TILE)
@@ -413,8 +412,9 @@ def make_flagship_gauss_tile_step(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
         colors_k = jnp.maximum(
-            jax.vmap(lambda d: _sh(st.max_sh_degree, st.active_sh_degree,
-                                   st.get_features, d))(dirs) + 0.5, 0.0)
+            jax.vmap(lambda d: eval_sh_upto(
+                st.max_sh_degree, st.active_sh_degree,
+                st.get_features, d))(dirs) + 0.5, 0.0)
         tanfov = jnp.asarray([cams.tanfovx, cams.tanfovy], jnp.float32)
         gt_pad = jnp.pad(cams.image,
                          ((0, 0), (0, strip_h * n_dev - height),

@@ -27,7 +27,7 @@ class GUI:
                  radius: float = 2.5, fovy_deg: float = 60.0,
                  deform_fn=None, render_fn=None,
                  anim_period: float = 4.0, n_frames: int = 0,
-                 fps_of_fid: float = 10.0):
+                 fps_of_fid: float = 10.0, direct_compute: bool = False):
         """render_state: GaussianState (may be swapped while training).
         deform_fn(xyz, fid) -> (d_xyz, d_rot, d_scale) or None for static.
         render_fn(state, camera, d_xyz, d_rot, d_scale) -> output with
@@ -36,6 +36,9 @@ class GUI:
         self.state = render_state
         self.cam = OrbitCamera(width, height, r=radius, fovy_deg=fovy_deg)
         self.deform_fn = deform_fn
+        # ODE-kind fields return ABSOLUTE positions; the renderer must use
+        # them directly instead of composing xyz + d_xyz (render.py:53-56)
+        self.direct_compute = direct_compute
         self._render_fn = render_fn
         self.mode = "rgb"                 # "rgb" | "depth"
         self.playing = True               # animate fid from the wall clock
@@ -107,7 +110,9 @@ class GUI:
         else:
             from ..models.renderer import render
             out = render(self.state, cam, d_xyz=dx, d_rotation=dr,
-                         d_scaling=ds)
+                         d_scaling=ds,
+                         direct_compute=self.direct_compute
+                         and self.deform_fn is not None)
         if self.mode == "depth":
             dep = np.asarray(out.depth)
             frame = np.repeat(

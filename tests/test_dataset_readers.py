@@ -58,6 +58,8 @@ def _make_colmap_fixture(root, text=False):
                 q, t = im.qvec, im.tvec
                 f.write(f"{i} {q[0]} {q[1]} {q[2]} {q[3]} "
                         f"{t[0]} {t[1]} {t[2]} 1 {im.name}\n\n")
+        with open(os.path.join(sparse, "images.txt"), "a") as f:
+            f.write("\n")            # trailing blank line (regression)
         with open(os.path.join(sparse, "points3D.txt"), "w") as f:
             f.write("# comment\n")
             for j in range(5):

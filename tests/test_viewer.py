@@ -118,3 +118,31 @@ def test_gui_headless_test_step():
     f3 = gui.test_step()
     assert calls["fid"] == 0.5
     assert np.abs(f3 - f2).max() > 1e-4
+
+
+def test_gui_direct_compute_for_ode_checkpoints():
+    """ODE-kind fields return ABSOLUTE positions; the GUI must render them
+    with direct_compute so geometry is not displaced by xyz + y(t)."""
+    import jax.numpy as jnp
+
+    from d3gs_tpu.models.renderer import render
+    from d3gs_tpu.viewer.gui import GUI
+    from tests.test_train_static import gt_state
+
+    st = gt_state(n=60, cap=256)
+    shift = jnp.array([0.15, 0.0, 0.0])
+
+    def ode_like_deform(xyz, fid):        # absolute positions
+        return xyz + shift, 0.0, 0.0
+
+    gui = GUI(st, width=64, height=64, radius=3.0,
+              deform_fn=ode_like_deform, direct_compute=True)
+    gui.playing = False
+    frame = gui.test_step()
+
+    # oracle: render the shifted cloud statically through the same camera
+    cam = gui._camera()
+    want = render(st.replace(params=st.params._replace(
+        xyz=st.params.xyz + shift)), cam, bg=jnp.zeros(3))
+    np.testing.assert_allclose(frame, np.clip(np.asarray(want.image), 0, 1),
+                               atol=1e-5)

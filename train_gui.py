@@ -63,13 +63,15 @@ def main(argv=None):
         model_cfg.model_path = "./output/gui"
     os.makedirs(model_cfg.model_path, exist_ok=True)
 
-    def jitted_view_render():
+    def jitted_view_render(direct: bool = False):
         tc, tk = pipe_cfg.tile_capacity, pipe_cfg.tile_chunk
 
         @jax.jit
         def _r(state, cam, dx, dr, ds):
+            # ODE-kind fields return ABSOLUTE positions (render.py:53-56)
             return render(state, cam, d_xyz=dx, d_rotation=dr,
-                          d_scaling=ds, bg=jnp.zeros(3),
+                          d_scaling=ds, direct_compute=direct,
+                          bg=jnp.zeros(3),
                           tile_capacity=tc, tile_chunk=tk)
         return _r
 
@@ -87,6 +89,7 @@ def main(argv=None):
         dstate = load_deform_weights(model_cfg.model_path, dstate,
                                      args.iteration)
         d_params = dstate.params
+        direct = spec.kind in ("ode", "simple", "simple_start")
 
         def deform_fn(xyz, fid):
             return field.step(d_params, xyz, fid, y0=xyz)
@@ -94,7 +97,8 @@ def main(argv=None):
         gui = GUI(scene.gaussians, width=args.gui_size,
                   height=args.gui_size, radius=args.radius,
                   deform_fn=jax.jit(deform_fn),
-                  render_fn=jitted_view_render(),
+                  render_fn=jitted_view_render(direct),
+                  direct_compute=direct,
                   n_frames=len(scene.get_train_cameras()))
         if use_gui:
             print(f"viewing {model_cfg.model_path} "
@@ -204,6 +208,8 @@ def _serve_socket(args, model_cfg, pipe_cfg, gui):
         dx, dr, ds = (gui.deform_fn(gui.state.params.xyz, cam.fid)
                       if gui.deform_fn is not None else (0.0, 0.0, 0.0))
         out = render(gui.state, cam, d_xyz=dx, d_rotation=dr, d_scaling=ds,
+                     direct_compute=gui.direct_compute
+                     and gui.deform_fn is not None,
                      scaling_modifier=float(scale_mod), bg=jnp.zeros(3),
                      tile_capacity=pipe_cfg.tile_capacity,
                      tile_chunk=pipe_cfg.tile_chunk)

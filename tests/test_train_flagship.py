@@ -195,6 +195,33 @@ def test_flagship_camera_parallel_chunked():
     assert losses[-1] < losses[0]
 
 
+def test_flagship_gauss_tile_chunked():
+    """gauss_tile mesh + steps_per_dispatch: the sharded Gaussian state
+    rides the on-device fori_loop carry across chunked steps."""
+    import jax
+    from d3gs_tpu.parallel.mesh import make_mesh
+
+    cap = 1024
+    gt, cams = make_dynamic_dataset(cap=cap)
+    st = _fresh_model(gt, cap)
+    mesh = make_mesh(jax.devices()[:2])
+    model_cfg = ModelParams(is_blender=True, sh_degree=1)
+    opt_cfg = OptimizationParams(
+        iterations=24, warm_up=8, num_cams_per_iter=2, sequence_length=8,
+        densify_from_iter=1000, position_lr_max_steps=24,
+        deform_lr_max_steps=24)
+    pipe_cfg = PipelineParams(tile_capacity=128, tile_chunk=8,
+                              steps_per_dispatch=8, mesh_mode="gauss_tile")
+    result = train_flagship(
+        gaussians=st, train_cams=cams, test_cams=cams[:2],
+        cameras_extent=4.0, model_cfg=model_cfg, opt_cfg=opt_cfg,
+        pipe_cfg=pipe_cfg, test_iterations=(24,), progress=False,
+        log_every=8, mesh=mesh)
+    losses = [l for _, l in result.losses]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_flagship_ode_training_adaptive_solver():
     """`--ode_solver adaptive` end-to-end: the flagship batched-ODE step
     trains through Dopri5 + adjoint (reference deform_model.py:61-78)."""

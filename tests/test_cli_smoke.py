@@ -52,6 +52,12 @@ def test_sample_trajectories_cli(tmp_path):
     assert ts.shape == (5,)
     assert np.isfinite(traj).all()
 
+    # render-only FPS benchmark branch (reference render_baseline.py:57-74)
+    import render as render_cli
+    render_cli.main(["-m", mp, "--skip_train", "--skip_test",
+                     "--benchmark", "--mode", "render",
+                     "--tile_capacity", "128", "--tile_chunk", "8"])
+
 
 def test_distill_and_forecast_clis(tmp_path):
     """train_synth_gau.py from a trained baseline checkpoint, then

@@ -198,6 +198,30 @@ def _tile_max_power(mux, muy, ca, cb, cc, tx, ty):
     return jnp.where(inside, 0.0, pmax)
 
 
+def _cumsum_2d(x: jax.Array, row: int = 512) -> jax.Array:
+    """Inclusive cumsum over a 1-D f32/i32 array via a (rows, row) reshape.
+
+    XLA lowers a long 1-D cumsum to an O(window) reduce-window sweep
+    (measured ~0.7 ms at M=393k inside a fused step); the two-level
+    rows+carry form is ~free. Caller guarantees len(x) % row == 0."""
+    x2 = x.reshape(-1, row)
+    within = jnp.cumsum(x2, axis=1)
+    rowsum = within[:, -1]
+    carry = jnp.cumsum(rowsum) - rowsum
+    return (within + carry[:, None]).reshape(-1)
+
+
+def _cummax_2d(x: jax.Array, row: int = 512) -> jax.Array:
+    """Inclusive cumulative max of a 1-D int array, same two-level scheme."""
+    x2 = x.reshape(-1, row)
+    within = jax.lax.cummax(x2, axis=1)
+    rowmax = within[:, -1]
+    carry = jax.lax.cummax(rowmax, axis=0)
+    carry = jnp.concatenate([jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype),
+                             carry[:-1]])
+    return jnp.maximum(within, carry[:, None]).reshape(-1)
+
+
 def bin_splats_records(
     splats: ProjectedSplats,
     *,
@@ -208,22 +232,35 @@ def bin_splats_records(
     tight_cull: bool = False,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
-    blend_records): identical expansion/sort as bin_splats_sorted, but the
-    output is the sorted duplicate list itself (depth ranks + per-tile
-    segment starts) — no (T, K) index lists, no capacity cap. TPU rationale:
-    gathers cost per INDEX (~90M idx/s measured), so the blend gathers ONE
-    (M, 16) record row per duplicate instead of 5 scalar fields per (T, K)
-    slot, and tile slabs address contiguous sorted rows."""
+    blend_records): ragged expansion + one (tile, rank) key sort; the output
+    is the sorted duplicate list itself (depth ranks + per-tile segment
+    starts) — no (T, K) index lists, no capacity cap.
+
+    TPU re-design notes (vs the CUDA (tile,depth) radix sort, SURVEY §2.3):
+    the ragged expand materializes NO per-duplicate gather and NO wide
+    scatter (XLA:TPU scatter cost is per scattered ELEMENT — a 5-channel
+    f32 row scatter measured 1.8 ms at N=44k, a 1-channel s32 one 0.3 ms).
+    Two 1-channel s32 scatters at the segment-start positions carry
+    everything:
+      * a mark (1): its two-level cumsum is src+1, and the cumulative MAX
+        of (mark ? position : -1) recovers the segment start itself, so
+        j = m - last_mark_pos needs no per-duplicate `offsets` fill;
+      * the delta of packed (tile_min_x | ty_lo<<7 | bw<<14): in depth
+        order the alive Gaussians form a contiguous prefix, so the running
+        sum reproduces packed[src[m]] exactly (s32, exact) and three bit
+        ops unpack it.
+    All O(M) elementwise work then runs on contiguous 1-D arrays."""
     n = splats.depths.shape[0]
     num_tiles = tiles_x * tiles_y
     if dup_capacity <= 0:
         dup_capacity = 16 * n
-    m_cap = dup_capacity
+    m_cap = ((dup_capacity + 511) // 512) * 512
     shift = max(int(n).bit_length(), 1)
     assert (num_tiles + 1) << shift < 2 ** 31
-    # the expand round-trips offsets through float32 (row_tab below): exact
-    # only below 2^24; beyond that tile assignment silently corrupts
-    assert m_cap < 2 ** 24, "dup_capacity >= 2^24 breaks the f32 offset path"
+    assert m_cap < 2 ** 24, "dup_capacity >= 2^24 breaks the f32 j//bw path"
+    assert tiles_x < 128 and tiles_y < 128, \
+        "packed-geometry binning supports < 128 tiles per axis (2032 px); " \
+        "use the scan path (bin_splats) beyond that"
 
     y0 = jnp.asarray(tile_y0, jnp.int32)
     ty_lo_u = jnp.maximum(splats.tile_min[:, 1], y0)
@@ -235,52 +272,60 @@ def bin_splats_records(
     depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
     order = jnp.argsort(depth_key)
 
-    # ONE row gather for every per-Gaussian field the expansion needs
-    # (four separate (N,) gathers by `order` measured 4x 0.31 ms at N=44k;
-    # all values are exact in f32: offsets < 2^24)
     bw1 = jnp.maximum(bw_u, 1)
-    cols_u = [splats.tile_min[:, 0].astype(jnp.float32),
-              ty_lo_u.astype(jnp.float32),
-              bw1.astype(jnp.float32),
-              cnt_u.astype(jnp.float32),
-              # per-Gaussian reciprocal: the per-duplicate j // bw becomes
-              # floor(j * rcp) (+/-1 corrected below) — a VPU multiply
-              # instead of a division, which dominated the expand fusion
-              1.0 / bw1.astype(jnp.float32)]
-    if tight_cull:
-        cols_u += [splats.means2d[:, 0], splats.means2d[:, 1],
-                   splats.conics[:, 0], splats.conics[:, 1],
-                   splats.conics[:, 2],
-                   jnp.log(jnp.maximum(splats.opacities, 1e-30))]
-    tab = jnp.stack(cols_u, axis=-1)[order]                # (N, 5 or 11)
-    cnt = tab[:, 3].astype(jnp.int32)
+    packed_u = (splats.tile_min[:, 0] | (ty_lo_u << 7) | (bw1 << 14)) \
+        .astype(jnp.int32)
+    cnt = cnt_u[order]
+    packed = packed_u[order]
     offsets = jnp.cumsum(cnt) - cnt
     total = offsets[-1] + cnt[-1]
 
-    m = jnp.arange(m_cap, dtype=jnp.int32)
+    packed_prev = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), packed[:-1]])
+    d_packed = packed - packed_prev
     mark_tgt = jnp.where(cnt > 0, offsets, m_cap)
-    marks = jnp.zeros(m_cap, jnp.int32).at[mark_tgt].add(1, mode="drop")
-    src = jnp.cumsum(marks) - 1
-    valid = (m < total) & (src >= 0)
-    src = jnp.clip(src, 0, n - 1)
-    row_tab = jnp.concatenate(
-        [offsets.astype(jnp.float32)[:, None], tab[:, :3], tab[:, 4:5]]
-        + ([tab[:, 5:]] if tight_cull else []), axis=-1)
-    row = row_tab[src]                                     # (M, 5 or 11)
-    j = m - row[:, 0].astype(jnp.int32)
-    w_src = row[:, 3].astype(jnp.int32)
-    q = jnp.floor(j.astype(jnp.float32) * row[:, 4]).astype(jnp.int32)
-    r = j - q * w_src
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
-    r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
-    tx = row[:, 1].astype(jnp.int32) + r
-    ty = row[:, 2].astype(jnp.int32) + q
+    marks = jnp.zeros((m_cap,), jnp.int32) \
+        .at[mark_tgt].add(1, mode="drop")
+    geo = jnp.zeros((m_cap,), jnp.int32) \
+        .at[mark_tgt].add(d_packed, mode="drop")
+
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    src_p1 = _cumsum_2d(marks)                             # src + 1
+    last_pos = _cummax_2d(jnp.where(marks > 0, m, -1))     # offsets[src]
+    packed_m = _cumsum_2d(geo)                             # packed[src]
+    tminx_m = packed_m & 127
+    tylo_m = (packed_m >> 7) & 127
+    bw_m = packed_m >> 14
+
+    j = (m - last_pos).astype(jnp.float32)
+    # j // bw and j % bw with a per-entry divisor via f32 division (exact
+    # inputs < 2^24; the +/-1 correction absorbs the one-ulp rounding)
+    bw_f = jnp.maximum(bw_m, 1).astype(jnp.float32)
+    q = jnp.floor(j / bw_f).astype(jnp.int32)
+    bw_i = jnp.maximum(bw_m, 1)
+    ji = m - last_pos
+    r = ji - q * bw_i
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= bw_i, q + 1, q))
+    r = jnp.where(r < 0, r + bw_i, jnp.where(r >= bw_i, r - bw_i, r))
+    tx = tminx_m + r
+    ty = tylo_m + q
+    src = jnp.clip(src_p1 - 1, 0, n - 1)
     local_tile = (ty - y0) * tiles_x + tx
+    valid = (m < total) & (src_p1 > 0)
 
     if tight_cull:
-        pmax = _tile_max_power(row[:, 5], row[:, 6], row[:, 7], row[:, 8],
-                               row[:, 9], tx, ty)
-        valid = valid & (pmax + row[:, 10] >= jnp.log(1.0 / 255.0))
+        # real f32 fields can't be delta-encoded exactly; tight_cull stays
+        # opt-in and pays an (M, 6) row gather from an N-scale table
+        ctab = jnp.stack(
+            [splats.means2d[:, 0], splats.means2d[:, 1],
+             splats.conics[:, 0], splats.conics[:, 1], splats.conics[:, 2],
+             jnp.log(jnp.maximum(splats.opacities, 1e-30))],
+            axis=-1)[order]
+        row = ctab[src]
+        pmax = _tile_max_power(row[:, 0], row[:, 1], row[:, 2], row[:, 3],
+                               row[:, 4], tx.astype(jnp.float32),
+                               ty.astype(jnp.float32))
+        valid = valid & (pmax + row[:, 5] >= jnp.log(1.0 / 255.0))
 
     big = num_tiles << shift
     key = jnp.where(valid, (local_tile << shift) | src, big)
@@ -293,17 +338,19 @@ def bin_splats_records(
         key_sorted, jnp.arange(num_tiles + 1) << shift,
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
-    # per-rank SURVIVING duplicate counts (dup-budget overflow / tight-cull
-    # drop some): in depth-dup order each rank's segment is contiguous at
-    # [offsets, offsets+cnt), so a cumsum of the valid mask + two N-row
-    # gathers gives the count — the backward needs the exclusive cumsum as
-    # its rank-segment boundaries (searchsorted there costs ~20 gather
-    # passes over N queries; this is O(M) + two gathers)
-    vcs = jnp.cumsum(valid.astype(jnp.int32))
-    vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
-    lo = jnp.clip(offsets, 0, m_cap)
-    hi = jnp.clip(offsets + cnt, 0, m_cap)
-    cnt_surv = vcsz[hi] - vcsz[lo]                      # (N,)
+    # per-rank SURVIVING duplicate counts: without tight_cull, validity is
+    # just position < min(total, m_cap), so each rank survives
+    # clip(off+cnt) - clip(off) — O(N), no M-scale pass at all. tight_cull
+    # drops data-dependently and needs the M-scale valid cumsum.
+    if tight_cull:
+        vcs = _cumsum_2d(valid.astype(jnp.int32))
+        vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
+        lo = jnp.clip(offsets, 0, m_cap)
+        hi = jnp.clip(offsets + cnt, 0, m_cap)
+        cnt_surv = vcsz[hi] - vcsz[lo]                     # (N,)
+    else:
+        lim = jnp.minimum(total, m_cap)
+        cnt_surv = jnp.clip(offsets + cnt, 0, lim) - jnp.clip(offsets, 0, lim)
     cs_surv = jnp.cumsum(cnt_surv)
     rank_bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), cs_surv]).astype(jnp.int32)  # (N+1,)

@@ -383,12 +383,14 @@ def bin_splats_records_multi(
     num_tiles = tiles_x * tiles_y
     if dup_capacity_per_cam <= 0:
         dup_capacity_per_cam = 16 * n
-    mc = dup_capacity_per_cam
+    mc = ((dup_capacity_per_cam + 511) // 512) * 512
     shift = max(int(n).bit_length(), 1)
     assert (k * num_tiles + 1) << shift < 2 ** 31, \
         "cam/tile/rank key exceeds int32; reduce cameras, tiles or capacity"
     assert mc < 2 ** 24, \
-        "dup_capacity_per_cam >= 2^24 breaks the f32 offset path"
+        "dup_capacity_per_cam >= 2^24 breaks the f32 j//bw path"
+    assert tiles_x < 128 and tiles_y < 128, \
+        "packed-geometry binning supports < 128 tiles per axis"
 
     bw_u = (splats.tile_max[..., 0] - splats.tile_min[..., 0]) \
         .astype(jnp.int32)
@@ -398,42 +400,60 @@ def bin_splats_records_multi(
     depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
     order = jnp.argsort(depth_key, axis=1)                    # (k, N)
 
+    # same two-scatter delta expand as bin_splats_records, flattened to one
+    # (k*mc,) stream. Per-camera value recovery subtracts each camera's
+    # carry-in (the flat running sum at the previous camera's end): within a
+    # camera the delta chain starts from zero (first column fprev = 0), so
+    # the residual is exactly the previous cameras' total.
     bw1 = jnp.maximum(bw_u, 1)
-    cols = jnp.stack([
-        splats.tile_min[..., 0].astype(jnp.float32),
-        splats.tile_min[..., 1].astype(jnp.float32),
-        bw1.astype(jnp.float32),
-        cnt_u.astype(jnp.float32),
-        1.0 / bw1.astype(jnp.float32)], axis=-1)              # (k, N, 5)
-    tab = jnp.take_along_axis(cols, order[..., None], axis=1)
-    cnt = tab[..., 3].astype(jnp.int32)                       # (k, N)
+    packed_u = (splats.tile_min[..., 0] | (splats.tile_min[..., 1] << 7)
+                | (bw1 << 14)).astype(jnp.int32)
+    cnt = jnp.take_along_axis(cnt_u, order, axis=1)           # (k, N)
+    packed = jnp.take_along_axis(packed_u, order, axis=1)
     offsets = jnp.cumsum(cnt, axis=1) - cnt
     total_c = offsets[:, -1] + cnt[:, -1]                     # (k,)
 
-    # per-camera ragged expand, all arrays kept (k, mc)-shaped so the mark
-    # cumsum resets naturally at camera boundaries
-    ml = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    packed_prev = jnp.concatenate(
+        [jnp.zeros((k, 1), jnp.int32), packed[:, :-1]], axis=1)
+    d_packed = packed - packed_prev
     camn = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
-    flat_tgt = jnp.where(cnt > 0, camn * mc + offsets, k * mc)
-    marks = jnp.zeros(k * mc, jnp.int32).at[flat_tgt.reshape(-1)].add(
-        1, mode="drop").reshape(k, mc)
-    src = jnp.cumsum(marks, axis=1) - 1                       # (k, mc)
-    valid = (ml < total_c[:, None]) & (src >= 0)
-    src = jnp.clip(src, 0, n - 1)
-    row_tab = jnp.concatenate(
-        [offsets.astype(jnp.float32)[..., None], tab[..., :3],
-         tab[..., 4:5]], axis=-1)                             # (k, N, 5)
-    row = jnp.take_along_axis(row_tab, src[..., None], axis=1)  # (k, mc, 5)
-    j = ml - row[..., 0].astype(jnp.int32)
-    w_src = row[..., 3].astype(jnp.int32)
-    q = jnp.floor(j.astype(jnp.float32) * row[..., 4]).astype(jnp.int32)
-    r = j - q * w_src
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= w_src, q + 1, q))
-    r = jnp.where(r < 0, r + w_src, jnp.where(r >= w_src, r - w_src, r))
-    tx = row[..., 1].astype(jnp.int32) + r
-    ty = row[..., 2].astype(jnp.int32) + q
+    flat_tgt = jnp.where(cnt > 0, camn * mc + offsets, k * mc).reshape(-1)
+    marks = jnp.zeros(k * mc, jnp.int32) \
+        .at[flat_tgt].add(1, mode="drop")
+    geo = jnp.zeros(k * mc, jnp.int32) \
+        .at[flat_tgt].add(d_packed.reshape(-1), mode="drop")
+
+    mflat = jnp.arange(k * mc, dtype=jnp.int32)
+    src_cum = _cumsum_2d(marks)                               # flat running
+    last_pos = _cummax_2d(jnp.where(marks > 0, mflat, -1))
+    packed_cum = _cumsum_2d(geo)
+    # per-camera carry-in at each camera's start (flat value at c*mc - 1)
+    cam_end = jnp.arange(k, dtype=jnp.int32) * mc - 1
+    base_src = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), src_cum[cam_end[1:]]])   # (k,)
+    base_geo = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), packed_cum[cam_end[1:]]])
+    src_p1 = (src_cum.reshape(k, mc) - base_src[:, None]).reshape(-1)
+    packed_m = (packed_cum.reshape(k, mc) - base_geo[:, None]).reshape(-1)
+    tminx_m = packed_m & 127
+    tylo_m = (packed_m >> 7) & 127
+    bw_m = packed_m >> 14
+
+    ml = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1).reshape(-1)
+    ji = mflat - last_pos             # within-camera (marks exist at each
+    #                                   camera's local 0 when total_c > 0)
+    bw_i = jnp.maximum(bw_m, 1)
+    q = jnp.floor(ji.astype(jnp.float32)
+                  / bw_i.astype(jnp.float32)).astype(jnp.int32)
+    r = ji - q * bw_i
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= bw_i, q + 1, q))
+    r = jnp.where(r < 0, r + bw_i, jnp.where(r >= bw_i, r - bw_i, r))
+    tx = tminx_m + r
+    ty = tylo_m + q
+    src = jnp.clip(src_p1 - 1, 0, n - 1).reshape(k, mc)
+    valid = ((ml < jnp.repeat(total_c, mc)) & (src_p1 > 0)).reshape(k, mc)
     cam = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 0)
-    gtile = cam * num_tiles + ty * tiles_x + tx               # (k, mc)
+    gtile = cam * num_tiles + (ty * tiles_x + tx).reshape(k, mc)  # (k, mc)
 
     big = (k * num_tiles) << shift
     key = jnp.where(valid, (gtile << shift) | src, big)
@@ -456,13 +476,11 @@ def bin_splats_records_multi(
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
 
-    vcs = jnp.cumsum(valid.astype(jnp.int32), axis=1)         # (k, mc)
-    vcsz = jnp.concatenate(
-        [jnp.zeros((k, 1), jnp.int32), vcs], axis=1)          # (k, mc+1)
-    lo = jnp.clip(offsets, 0, mc)
-    hi = jnp.clip(offsets + cnt, 0, mc)
-    cnt_surv = jnp.take_along_axis(vcsz, hi, axis=1) \
-        - jnp.take_along_axis(vcsz, lo, axis=1)               # (k, N)
+    # validity is just local position < min(total_c, mc): each rank
+    # survives clip(off+cnt) - clip(off) — O(kN), no M-scale pass
+    lim = jnp.minimum(total_c, mc)[:, None]                   # (k, 1)
+    cnt_surv = jnp.clip(offsets + cnt, 0, lim) \
+        - jnp.clip(offsets, 0, lim)                           # (k, N)
     cnt_all = jnp.concatenate(
         [cnt_surv, jnp.zeros((k, 1), jnp.int32)], axis=1).reshape(-1)
     rank_bounds = jnp.concatenate(

@@ -913,7 +913,22 @@ def _core_bwd(num_tiles, interpret, pair, res, g):
     iota = jnp.arange(mpad, dtype=jnp.int32)
     _, invperm = jax.lax.sort((rank_pad, iota), num_keys=1)
     g_dd = g_flat[invperm]                                    # rank-grouped
-    cs = jnp.cumsum(g_dd, axis=0)
+    # blocked inclusive cumsum: the long-axis jnp.cumsum lowers to an
+    # O(window) reduce-window sweep (~0.7 ms at M=393k); a lower-triangular
+    # MXU matmul per 128-row block + a short cross-block carry is ~0.5 ms.
+    # HIGHEST keeps the prefix sums at f32 accuracy (they difference into
+    # per-rank segment sums below — bf16 passes would leak into the
+    # mean/conic gradients).
+    g3 = g_dd.reshape(mb, KB, _REC)
+    tri = jnp.tril(jnp.ones((KB, KB), jnp.float32))
+    within = jax.lax.dot_general(
+        tri, g3, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (KB, mb, 16)
+    within = jnp.swapaxes(within, 0, 1)                       # (mb, KB, 16)
+    bsum = g3.sum(axis=1)                                     # (mb, 16)
+    bpre = jnp.cumsum(bsum, axis=0) - bsum                    # exclusive
+    cs = (within + bpre[:, None, :]).reshape(mpad, _REC)
     csz = jnp.concatenate([jnp.zeros((1, _REC), jnp.float32), cs], axis=0)
     # rank_bounds (from binning) already holds each rank's segment start in
     # the grouped order; sentinel rank n1-1 occupies [total_surv, mpad)
@@ -927,6 +942,28 @@ def _core_bwd(num_tiles, interpret, pair, res, g):
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+@jax.custom_vjp
+def _reorder(records, order):
+    """records[order] with a permutation-aware backward.
+
+    XLA differentiates a gather as a scatter-add (~0.37 ms at N=44k);
+    `order` is a PERMUTATION (argsort of the depth key), so the cotangent
+    is exactly a gather through the inverse permutation."""
+    return records[order]
+
+
+def _reorder_fwd(records, order):
+    return records[order], order
+
+
+def _reorder_bwd(order, g):
+    inv = jnp.argsort(order)
+    return g[inv], np.zeros(order.shape, jax.dtypes.float0)
+
+
+_reorder.defvjp(_reorder_fwd, _reorder_bwd)
 
 
 @functools.partial(
@@ -953,7 +990,7 @@ def blend_records_pallas(
     mpad = ((m + KB - 1) // KB) * KB
 
     rec_pad = jnp.concatenate(
-        [records[bins.order],
+        [_reorder(records, bins.order),
          jnp.zeros((1, records.shape[1]), records.dtype)], axis=0)
     total = bins.starts[num_tiles]
     marange = jnp.arange(mpad, dtype=jnp.int32)

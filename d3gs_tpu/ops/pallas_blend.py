@@ -22,8 +22,10 @@ through HBM, and pays two M-scale gathers. This kernel instead:
 Layout: pixels (P=256) on sublanes, records (KB=128) on lanes. Record
 blocks are stored transposed as (Mb, 16, KB) so per-field row vectors
 (1, KB) broadcast against the (P, 1) pixel grid without in-kernel
-transposes. The cumulative-transmittance scan is a log2(KB) doubling
-ladder of lane rolls.
+transposes. The cumulative-transmittance prefix scans run on the MXU as
+(P, KB)@(KB, KB) triangular matmuls at HIGHEST precision (the kernels are
+VPU-bound; the MXU is otherwise idle), with per-record transmittance
+recovered by one exp of the log-space prefix.
 
 Backward write routing: gradient blocks fully interior to one tile's
 segment are DMA'd to the main (Mb, 16, KB) output; each tile's first/last
@@ -79,16 +81,33 @@ def _block_alpha(blk, px, py, kg, s0, s1):
     return alpha, clamped, power, raw
 
 
-def _scan_products(om, kcol):
-    """Inclusive cumprod along lanes (doubling ladder) + exclusive shift."""
-    prod = om
-    s = 1
-    while s < KB:
-        sh = pltpu.roll(prod, s, 1)
-        prod = prod * jnp.where(kcol < s, 1.0, sh)
-        s *= 2
-    excl = jnp.where(kcol < 1, 1.0, pltpu.roll(prod, 1, 1))
-    return prod, excl
+def _tri_inc(n, *, seg128=False):
+    """(n, n) f32 inclusive-prefix matrix: tri[j, k] = 1 iff j <= k.
+
+    With seg128, prefixes are confined to independent 128-lane segments
+    (the tile-paired kernels lane-stack two tiles). Built from two iotas
+    (~3 cheap passes over n² elements, once per TILE — negligible next to
+    the per-block (P, KB) work)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ok = row <= col
+    if seg128:
+        ok = ok & ((row >> _LOG_KB) == (col >> _LOG_KB))
+    return ok.astype(jnp.float32)
+
+
+def _mxu_cumsum(x, tri):
+    """Inclusive prefix sum along lanes as ONE MXU matmul.
+
+    The kernels are VPU-bound; the log2(KB) roll-ladder scan costs ~21 VPU
+    passes over (P, KB) per use, while (P, KB)@(KB, KB) runs on the
+    otherwise-idle MXU. HIGHEST pins full-f32 passes: the sums feed exp()
+    (transmittance) and gradient suffix differences, where single-bf16-pass
+    rounding would leak into training."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
@@ -103,6 +122,8 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     px = ox_ref[t].astype(jnp.float32) + lx
     py = oy_ref[t].astype(jnp.float32) + ly
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+    tri = _tri_inc(KB)
+    log_eps = jnp.float32(np.log(_T_EPS))
 
     def dma(slot, b):
         return pltpu.make_async_copy(slab_ref.at[b0 + b], buf.at[slot],
@@ -112,8 +133,12 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     def _():
         dma(0, 0).start()
 
+    # transmittance is carried in LOG space (ltv): the plain product
+    # underflows f32 after ~19 near-opaque records, and the backward
+    # reconstructs weights anchored on this exact log value. Per-record
+    # T comes from ONE exp of the MXU prefix sum of log1p(-alpha).
     def body(c):
-        b, tvec, ltv, img, dep, tfin = c
+        b, ltv, img, dep, tfin = c
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nb)
@@ -124,9 +149,11 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         blk = buf[slot]                                # (16, KB)
         kg = (b0 + b) * KB + kcol
         alpha, _, _, _ = _block_alpha(blk, px, py, kg, s0, s1)
-        prod, excl = _scan_products(1.0 - alpha, kcol)
-        tb = tvec * excl
-        ti = tvec * prod
+        om = 1.0 - alpha
+        lo = jnp.log1p(-alpha)
+        acc = _mxu_cumsum(lo, tri)                     # inclusive Σ log(1-α)
+        ti = jnp.exp(ltv + acc)                        # T after record k
+        tb = ti / om                                   # T before (om=1 ⇒ ti)
         inc = ti >= _T_EPS
         w = jnp.where(inc, tb * alpha, 0.0)            # (P, KB)
         rgb = blk[5:8]                                 # (3, KB)
@@ -139,21 +166,16 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
             preferred_element_type=jnp.float32)        # (P, 1)
         tfin = jnp.minimum(tfin, jnp.min(jnp.where(inc, ti, 1.0), axis=1,
                                          keepdims=True))
-        tvec = tvec * prod[:, KB - 1:KB]
-        # log-space transmittance for the backward anchor: the plain product
-        # underflows f32 after ~19 near-opaque records, which would inflate
-        # the backward's log-anchored weight reconstruction by e^(drift)
-        ltv = ltv + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
-        return (b + 1, tvec, ltv, img, dep, tfin)
+        ltv = ltv + acc[:, KB - 1:KB]
+        return (b + 1, ltv, img, dep, tfin)
 
     def cond(c):
-        return (c[0] < nb) & (jnp.max(c[1]) >= _T_EPS)
+        return (c[0] < nb) & (jnp.max(c[1]) >= log_eps)
 
-    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
+    init = (jnp.int32(0), jnp.zeros((P, 1), jnp.float32),
             jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 1), jnp.float32),
             jnp.ones((P, 1), jnp.float32))
-    b_f, tvec, ltv, img, dep, tfin = jax.lax.while_loop(cond, body, init)
+    b_f, ltv, img, dep, tfin = jax.lax.while_loop(cond, body, init)
 
     # drain the prefetched-but-unconsumed DMA if we early-terminated
     @pl.when(b_f < nb)
@@ -238,13 +260,16 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
 
     gtt = g_tf * t_final                               # (P, 1)
 
+    tri = _tri_inc(KB)
+
     def grad_block(b, lcarry, sfx, blk):
         kg = (b0 + b) * KB + kcol
         alpha, clamped, power, raw = _block_alpha(blk, px, py, kg, s0, s1)
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)                         # (P, KB), <= 0
-        s_lo = jnp.sum(lo, axis=1, keepdims=True)      # (P, 1)
-        _, exc = _scan_cumsum(lo, kcol)
+        acc = _mxu_cumsum(lo, tri)                     # inclusive prefix
+        s_lo = acc[:, KB - 1:KB]                       # (P, 1) block total
+        exc = acc - lo
         # log T before record k = log T(block end) - sum_{j>=k} lo_j
         tb = jnp.exp(lcarry - s_lo + exc)
         ti = tb * om
@@ -255,8 +280,8 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
                                  preferred_element_type=jnp.float32) \
             + g_dep * dpt                              # (P, KB)
         gww = gw * w
-        s_g = jnp.sum(gww, axis=1, keepdims=True)
-        pin, _ = _scan_cumsum(gww, kcol)               # inclusive prefix
+        pin = _mxu_cumsum(gww, tri)                    # inclusive prefix
+        s_g = pin[:, KB - 1:KB]
         suffix = sfx + (s_g - pin)                     # Σ over m > k
         inv_om = 1.0 / om
         incf = inc.astype(jnp.float32)
@@ -352,26 +377,14 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         dma_w(jax.lax.rem(nb - 1, 2), 0).wait()
 
 
-def _scan_cumsum(x, kcol):
-    """Inclusive cumsum along lanes via the same doubling ladder."""
-    acc = x
-    s = 1
-    while s < KB:
-        sh = pltpu.roll(acc, s, 1)
-        acc = acc + jnp.where(kcol < s, 0.0, sh)
-        s *= 2
-    excl = jnp.where(kcol < 1, 0.0, pltpu.roll(acc, 1, 1))
-    return acc, excl
-
-
 # ---------------------------------------------------------------------------
 # Tile-paired kernels: 2 tiles per grid step, the pair's record blocks
 # lane-stacked as (16, 2*KB) and all per-pixel math on (P, 2*KB) arrays.
 # Adjacent tiles have similar duplicate counts, so the per-step loop bound
-# max(nb_a, nb_b) wastes little, while grid steps, scan-ladder instruction
-# count, and per-block control overhead are all halved. The modular guard
-# `kcol & (KB-1) < s` keeps the doubling ladders from crossing the
-# half-boundary, so each 128-lane segment scans independently.
+# max(nb_a, nb_b) wastes little, while grid steps and per-block control
+# overhead are halved. The seg128 block-diagonal triangular matrix keeps
+# the MXU prefix scans from crossing the half-boundary, so each 128-lane
+# segment scans independently.
 # ---------------------------------------------------------------------------
 
 
@@ -396,6 +409,8 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
     kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
     kmod = kcol2 & (KB - 1)
     lanehalf = kcol2 >= KB
+    tri2 = _tri_inc(2 * KB, seg128=True)
+    log_eps = jnp.float32(np.log(_T_EPS))
     oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
         .astype(jnp.float32)                               # (1, 2KB)
     oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
@@ -418,7 +433,7 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
         dma(0, 1, 0).start()
 
     def body(c):
-        b, tvec2, ltv2, imgA, imgB, depA, depB, tfin2 = c
+        b, ltv2, imgA, imgB, depA, depB, tfin2 = c
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < nbA)
@@ -454,10 +469,12 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
         bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
         alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
 
-        prod, excl = _scan_products(1.0 - alpha, kmod)
-        tvec_e = _sel_half(lanehalf, tvec2[:, 0:1], tvec2[:, 1:2])
-        tb = tvec_e * excl
-        ti = tvec_e * prod
+        om = 1.0 - alpha
+        lo = jnp.log1p(-alpha)
+        acc = _mxu_cumsum(lo, tri2)                    # per-half prefixes
+        ltv_e = _sel_half(lanehalf, ltv2[:, 0:1], ltv2[:, 1:2])
+        ti = jnp.exp(ltv_e + acc)
+        tb = ti / om
         inc = ti >= _T_EPS
         w = jnp.where(inc, tb * alpha, 0.0)                # (P, 2KB)
         # sanitize the colour/depth rows: when a half has exhausted its
@@ -483,23 +500,18 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
         tfin2 = jnp.minimum(tfin2, jnp.concatenate(
             [jnp.min(ti_or_1[:, :KB], axis=1, keepdims=True),
              jnp.min(ti_or_1[:, KB:], axis=1, keepdims=True)], axis=1))
-        tvec2 = tvec2 * jnp.concatenate(
-            [prod[:, KB - 1:KB], prod[:, 2 * KB - 1:2 * KB]], axis=1)
-        lo = jnp.log1p(-alpha)
         ltv2 = ltv2 + jnp.concatenate(
-            [jnp.sum(lo[:, :KB], axis=1, keepdims=True),
-             jnp.sum(lo[:, KB:], axis=1, keepdims=True)], axis=1)
-        return (b + 1, tvec2, ltv2, imgA, imgB, depA, depB, tfin2)
+            [acc[:, KB - 1:KB], acc[:, 2 * KB - 1:2 * KB]], axis=1)
+        return (b + 1, ltv2, imgA, imgB, depA, depB, tfin2)
 
     def cond(c):
-        return (c[0] < nb) & (jnp.max(c[1]) >= _T_EPS)
+        return (c[0] < nb) & (jnp.max(c[1]) >= log_eps)
 
-    init = (jnp.int32(0), jnp.ones((P, 2), jnp.float32),
-            jnp.zeros((P, 2), jnp.float32),
+    init = (jnp.int32(0), jnp.zeros((P, 2), jnp.float32),
             jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 3), jnp.float32),
             jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
             jnp.ones((P, 2), jnp.float32))
-    b_f, tvec2, ltv2, imgA, imgB, depA, depB, tfin2 = \
+    b_f, ltv2, imgA, imgB, depA, depB, tfin2 = \
         jax.lax.while_loop(cond, body, init)
 
     # drain prefetched-but-unconsumed DMAs on early termination
@@ -545,6 +557,7 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
     kmod = kcol2 & (KB - 1)
     lanehalf = kcol2 >= KB
+    tri2 = _tri_inc(2 * KB, seg128=True)
     oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
         .astype(jnp.float32)
     oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
@@ -612,7 +625,8 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
 
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
-        acc, exc = _scan_cumsum(lo, kmod)
+        acc = _mxu_cumsum(lo, tri2)
+        exc = acc - lo
         s_lo2 = jnp.concatenate(
             [acc[:, KB - 1:KB], acc[:, 2 * KB - 1:2 * KB]], axis=1)
         s_lo_e = _sel_half(lanehalf, s_lo2[:, 0:1], s_lo2[:, 1:2])
@@ -632,7 +646,7 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         # must be hard-zeroed or NaNs leak into the suffix-sum carry
         gw = jnp.where(proc, jnp.concatenate([gwA, gwB], axis=1), 0.0)
         gww = gw * w
-        pin, _ = _scan_cumsum(gww, kmod)
+        pin = _mxu_cumsum(gww, tri2)
         s_g2 = jnp.concatenate(
             [pin[:, KB - 1:KB], pin[:, 2 * KB - 1:2 * KB]], axis=1)
         s_g_e = _sel_half(lanehalf, s_g2[:, 0:1], s_g2[:, 1:2])

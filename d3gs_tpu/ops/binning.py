@@ -230,11 +230,19 @@ def bin_splats_records(
     dup_capacity: int = 0,
     tile_y0: jax.Array | int = 0,
     tight_cull: bool = False,
+    corner_cull: bool = True,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
     blend_records): ragged expansion + one (tile, rank) key sort; the output
     is the sorted duplicate list itself (depth ranks + per-tile segment
     starts) — no (T, K) index lists, no capacity cap.
+
+    `corner_cull` drops duplicates whose tile rect lies entirely beyond the
+    splat's EXACT alpha radius (projection.cull_radius): every pixel there
+    fails the 1/255 alpha-min test and consumes no transmittance, so the
+    drop is output-exact. Mean and radius ride two extra delta-encoded s32
+    channels through the same segment-start scatters (0.5 px quantization,
+    slack-inflated conservatively) — no M-scale gather, unlike tight_cull.
 
     TPU re-design notes (vs the CUDA (tile,depth) radix sort, SURVEY §2.3):
     the ragged expand materializes NO per-duplicate gather and NO wide
@@ -288,6 +296,28 @@ def bin_splats_records(
         .at[mark_tgt].add(1, mode="drop")
     geo = jnp.zeros((m_cap,), jnp.int32) \
         .at[mark_tgt].add(d_packed, mode="drop")
+    if corner_cull:
+        # quantized (mean2d, cull_radius) as two more delta channels:
+        # 0.5 px steps, mean clipped INWARD (shrinks computed distance →
+        # conservative keep), radius ceil'd UP and clipped to a
+        # never-cull sentinel (8191.5 px > any supported screen diagonal)
+        mqx = jnp.clip(jnp.round(splats.means2d[:, 0] * 2.0), -8191, 8191) \
+            .astype(jnp.int32) + 8192
+        mqy = jnp.clip(jnp.round(splats.means2d[:, 1] * 2.0), -8191, 8191) \
+            .astype(jnp.int32) + 8192
+        mpk_u = mqx | (mqy << 14)
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius * 2.0), 0, 16383) \
+            .astype(jnp.int32)
+        mpk = mpk_u[order]
+        rqo = rq_u[order]
+        d_mpk = mpk - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), mpk[:-1]])
+        d_rq = rqo - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), rqo[:-1]])
+        geo2 = jnp.zeros((m_cap,), jnp.int32) \
+            .at[mark_tgt].add(d_mpk, mode="drop")
+        geo3 = jnp.zeros((m_cap,), jnp.int32) \
+            .at[mark_tgt].add(d_rq, mode="drop")
 
     m = jnp.arange(m_cap, dtype=jnp.int32)
     src_p1 = _cumsum_2d(marks)                             # src + 1
@@ -312,6 +342,20 @@ def bin_splats_records(
     src = jnp.clip(src_p1 - 1, 0, n - 1)
     local_tile = (ty - y0) * tiles_x + tx
     valid = (m < total) & (src_p1 > 0)
+
+    if corner_cull:
+        mpk_m = _cumsum_2d(geo2)                       # mpk[src]
+        rq_m = _cumsum_2d(geo3)                        # rq[src]
+        mx = ((mpk_m & 16383) - 8192).astype(jnp.float32) * 0.5
+        my = ((mpk_m >> 14) - 8192).astype(jnp.float32) * 0.5
+        x0 = (tx * TILE).astype(jnp.float32)
+        y0f = (ty * TILE).astype(jnp.float32)
+        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
+        dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
+        # slack 0.5: 0.354 for the two 0.25 px mean quantizations + margin
+        # for f32 rounding between this bound and the kernel's power eval
+        rub = rq_m.astype(jnp.float32) * 0.5 + 0.5
+        valid = valid & (dx * dx + dy * dy <= rub * rub)
 
     if tight_cull:
         # real f32 fields can't be delta-encoded exactly; tight_cull stays
@@ -338,11 +382,11 @@ def bin_splats_records(
         key_sorted, jnp.arange(num_tiles + 1) << shift,
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
-    # per-rank SURVIVING duplicate counts: without tight_cull, validity is
+    # per-rank SURVIVING duplicate counts: without culling, validity is
     # just position < min(total, m_cap), so each rank survives
-    # clip(off+cnt) - clip(off) — O(N), no M-scale pass at all. tight_cull
-    # drops data-dependently and needs the M-scale valid cumsum.
-    if tight_cull:
+    # clip(off+cnt) - clip(off) — O(N), no M-scale pass at all. The culls
+    # drop data-dependently and need the M-scale valid cumsum.
+    if tight_cull or corner_cull:
         vcs = _cumsum_2d(valid.astype(jnp.int32))
         vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
         lo = jnp.clip(offsets, 0, m_cap)
@@ -364,6 +408,7 @@ def bin_splats_records_multi(
     tiles_x: int,
     tiles_y: int,
     dup_capacity_per_cam: int = 0,
+    corner_cull: bool = True,
 ) -> RecordBins:
     """Fused k-camera binning: ONE (camera, tile, depth)-keyed sort over all
     cameras' duplicate streams. The flagship trainer renders k cameras per
@@ -422,6 +467,25 @@ def bin_splats_records_multi(
         .at[flat_tgt].add(1, mode="drop")
     geo = jnp.zeros(k * mc, jnp.int32) \
         .at[flat_tgt].add(d_packed.reshape(-1), mode="drop")
+    if corner_cull:
+        # quantized (mean2d, cull_radius) channels — see bin_splats_records
+        mqx = jnp.clip(jnp.round(splats.means2d[..., 0] * 2.0),
+                       -8191, 8191).astype(jnp.int32) + 8192
+        mqy = jnp.clip(jnp.round(splats.means2d[..., 1] * 2.0),
+                       -8191, 8191).astype(jnp.int32) + 8192
+        mpk_u = mqx | (mqy << 14)                             # (k, N)
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius * 2.0), 0, 16383) \
+            .astype(jnp.int32)
+        mpk = jnp.take_along_axis(mpk_u, order, axis=1)
+        rqo = jnp.take_along_axis(rq_u, order, axis=1)
+        d_mpk = mpk - jnp.concatenate(
+            [jnp.zeros((k, 1), jnp.int32), mpk[:, :-1]], axis=1)
+        d_rq = rqo - jnp.concatenate(
+            [jnp.zeros((k, 1), jnp.int32), rqo[:, :-1]], axis=1)
+        geo2 = jnp.zeros(k * mc, jnp.int32) \
+            .at[flat_tgt].add(d_mpk.reshape(-1), mode="drop")
+        geo3 = jnp.zeros(k * mc, jnp.int32) \
+            .at[flat_tgt].add(d_rq.reshape(-1), mode="drop")
 
     mflat = jnp.arange(k * mc, dtype=jnp.int32)
     src_cum = _cumsum_2d(marks)                               # flat running
@@ -452,6 +516,23 @@ def bin_splats_records_multi(
     ty = tylo_m + q
     src = jnp.clip(src_p1 - 1, 0, n - 1).reshape(k, mc)
     valid = ((ml < jnp.repeat(total_c, mc)) & (src_p1 > 0)).reshape(k, mc)
+    if corner_cull:
+        mpk_cum = _cumsum_2d(geo2)
+        rq_cum = _cumsum_2d(geo3)
+        base_mpk = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), mpk_cum[cam_end[1:]]])
+        base_rq = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), rq_cum[cam_end[1:]]])
+        mpk_m = (mpk_cum.reshape(k, mc) - base_mpk[:, None]).reshape(-1)
+        rq_m = (rq_cum.reshape(k, mc) - base_rq[:, None]).reshape(-1)
+        mx = ((mpk_m & 16383) - 8192).astype(jnp.float32) * 0.5
+        my = ((mpk_m >> 14) - 8192).astype(jnp.float32) * 0.5
+        x0 = (tx * TILE).astype(jnp.float32)
+        y0f = (ty * TILE).astype(jnp.float32)
+        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
+        dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
+        rub = rq_m.astype(jnp.float32) * 0.5 + 0.5
+        valid = valid & (dx * dx + dy * dy <= rub * rub).reshape(k, mc)
     cam = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 0)
     gtile = cam * num_tiles + (ty * tiles_x + tx).reshape(k, mc)  # (k, mc)
 
@@ -476,11 +557,22 @@ def bin_splats_records_multi(
         side="left").astype(jnp.int32)
     counts = jnp.diff(starts)
 
-    # validity is just local position < min(total_c, mc): each rank
-    # survives clip(off+cnt) - clip(off) — O(kN), no M-scale pass
-    lim = jnp.minimum(total_c, mc)[:, None]                   # (k, 1)
-    cnt_surv = jnp.clip(offsets + cnt, 0, lim) \
-        - jnp.clip(offsets, 0, lim)                           # (k, N)
+    if corner_cull:
+        # data-dependent drops: per-rank surviving counts via the M-scale
+        # valid cumsum, segmented per camera (flat positions c*mc + local)
+        vcs = _cumsum_2d(valid.reshape(-1).astype(jnp.int32))
+        vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
+        base = (jnp.arange(k, dtype=jnp.int32) * mc)[:, None]
+        lim = jnp.minimum(total_c, mc)[:, None]               # (k, 1)
+        lo = base + jnp.clip(offsets, 0, lim)
+        hi = base + jnp.clip(offsets + cnt, 0, lim)
+        cnt_surv = vcsz[hi] - vcsz[lo]                        # (k, N)
+    else:
+        # validity is just local position < min(total_c, mc): each rank
+        # survives clip(off+cnt) - clip(off) — O(kN), no M-scale pass
+        lim = jnp.minimum(total_c, mc)[:, None]               # (k, 1)
+        cnt_surv = jnp.clip(offsets + cnt, 0, lim) \
+            - jnp.clip(offsets, 0, lim)                       # (k, N)
     cnt_all = jnp.concatenate(
         [cnt_surv, jnp.zeros((k, 1), jnp.int32)], axis=1).reshape(-1)
     rank_bounds = jnp.concatenate(

@@ -37,6 +37,10 @@ class ProjectedSplats(NamedTuple):
     tile_min: jax.Array     # (N, 2) int32 inclusive tile bbox min (x, y)
     tile_max: jax.Array     # (N, 2) int32 exclusive tile bbox max (x, y)
     visible: jax.Array      # (N,) bool
+    cull_radius: jax.Array  # (N,) f32 EXACT alpha radius sqrt(2·λ1·ln(255·
+    #                         opa)) in pixels (unclamped): beyond it alpha <
+    #                         1/255 at every pixel, so binning may drop
+    #                         bbox-corner tiles output-exactly
 
 
 def ndc_to_pixel(ndc: jax.Array, size: jax.Array | int) -> jax.Array:
@@ -171,9 +175,21 @@ def project_gaussians(
     sig = jnp.sqrt(lam1)
     # the log argument clamp keeps opa < 1/255 from producing sqrt(<0)=NaN
     # (such splats pass no alpha-min test anywhere: radius 0 is exact)
-    sigma_mul = jnp.minimum(3.0, jnp.sqrt(jnp.maximum(
-        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0), 0.0)))
+    sigma_exact = jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0), 0.0))
+    sigma_mul = jnp.minimum(3.0, sigma_exact)
     radius = jnp.ceil(sigma_mul * sig)
+    # exact alpha radius in pixels (UNclamped): alpha < 1/255 everywhere
+    # beyond it, so binning's corner-tile cull may use it output-exactly
+    # even where the rect itself is the reference's 3σ clamp
+    cull_radius = sigma_exact * sig
+    # per-axis alpha-aware extents: the max of the Gaussian exponent along a
+    # pixel column at |dx| from the mean is -dx²/(2·a) (a = dilated cov_xx),
+    # so columns beyond sigma_exact·sqrt(a) have alpha < 1/255 everywhere —
+    # dropping them is output-exact. Clamped to the circle radius so the
+    # rect never exceeds the reference's 3σ-clamped bbox semantics.
+    rx = jnp.minimum(radius, jnp.ceil(sigma_exact * jnp.sqrt(a)))
+    ry = jnp.minimum(radius, jnp.ceil(sigma_exact * jnp.sqrt(c)))
     # reference 3σ radius (diff-gaussian-rasterization forward.cu
     # computeCov2D): reported in `radii` so max_radii2d / size-prune /
     # densification stats see reference semantics even though tile binning
@@ -187,11 +203,11 @@ def project_gaussians(
 
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
-    tmin_x = jnp.clip(((mean2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, tiles_x)
-    tmin_y = jnp.clip(((mean2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, tiles_y)
+    tmin_x = jnp.clip(((mean2d[:, 0] - rx) / TILE).astype(jnp.int32), 0, tiles_x)
+    tmin_y = jnp.clip(((mean2d[:, 1] - ry) / TILE).astype(jnp.int32), 0, tiles_y)
     # exclusive tile-bbox max
-    tmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / TILE).astype(jnp.int32) + 1, 0, tiles_x)
-    tmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / TILE).astype(jnp.int32) + 1, 0, tiles_y)
+    tmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + rx) / TILE).astype(jnp.int32) + 1, 0, tiles_x)
+    tmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + ry) / TILE).astype(jnp.int32) + 1, 0, tiles_y)
 
     nonempty = (tmax_x > tmin_x) & (tmax_y > tmin_y)
     visible = in_front & det_ok & nonempty & (radius > 0)
@@ -224,4 +240,5 @@ def project_gaussians(
         tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
         tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
         visible=visible,
+        cull_radius=jnp.where(visible, cull_radius, 0.0),
     )

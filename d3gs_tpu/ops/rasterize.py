@@ -65,13 +65,12 @@ def pack_records_full(splats: ProjectedSplats) -> jax.Array:
     sharded k-camera pipeline all-gathers ONE array per camera instead of
     the nine-leaf ProjectedSplats tree (parallel/sharded.py). The blend
     kernels read only lanes 0-9, so the same array feeds them directly."""
-    n = splats.depths.shape[0]
     return jnp.concatenate([
         pack_records(splats)[:, :10],
         splats.tile_min.astype(jnp.float32),
         splats.tile_max.astype(jnp.float32),
         splats.visible.astype(jnp.float32)[:, None],
-        jnp.zeros((n, RECORD_WIDTH - 15), jnp.float32),
+        splats.cull_radius[:, None],
     ], axis=-1)
 
 
@@ -85,7 +84,8 @@ def unpack_records_full(rec: jax.Array) -> ProjectedSplats:
         opacities=rec[:, 8],
         tile_min=rec[:, 10:12].astype(jnp.int32),
         tile_max=rec[:, 12:14].astype(jnp.int32),
-        visible=rec[:, 14] > 0.5)
+        visible=rec[:, 14] > 0.5,
+        cull_radius=rec[:, 15])
 
 
 class RenderOutput(NamedTuple):

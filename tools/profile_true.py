@@ -53,22 +53,29 @@ tan = math.tan(fov / 2)
 
 def device_time(name, make_body, n_lo=4, n_hi=24):
     """make_body() -> (body, init) with body(carry)->carry, carry a scalar-
-    reducible pytree; we time fori_loop(n) for two n and difference."""
+    reducible pytree; we time fori_loop(n) for two n and difference.
+    Best-of-3 per length: tunnel jitter is one-sided (delays only), and a
+    delayed n_lo run silently UNDERSTATES the per-iter time."""
     times = {}
     for n in (n_lo, n_hi):
         body, init = make_body()
         f = jax.jit(lambda c, n=n, body=body: jax.lax.fori_loop(
             0, n, lambda i, c: body(c), c))
         r = f(init)
-        s = float(jax.tree_util.tree_reduce(
-            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), jax.tree.leaves(r), 0.0))
-        t0 = time.perf_counter()
-        r = f(init)
-        s = float(jax.tree_util.tree_reduce(
-            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), jax.tree.leaves(r), 0.0))
-        times[n] = time.perf_counter() - t0
+        float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+            jax.tree.leaves(r), 0.0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(init)
+            float(jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+                jax.tree.leaves(r), 0.0))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
     per = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
-    print(f"{name:44s} {per*1000:8.3f} ms/iter")
+    print(f"{name:44s} {per*1000:8.3f} ms/iter", flush=True)
     return per
 
 

@@ -68,6 +68,13 @@ class PipelineParams:
     binning: str = "auto"           # "auto" (pallas on TPU, packed off-TPU)
                                     # | "pallas" | "packed" | "sort" | "scan"
     dup_capacity: int = 0           # sort-path duplicate budget (0 = 16N)
+    corner_cull: bool = False       # quantized bbox-corner cull beyond the
+                                # exact alpha radius (output-exact; one
+                                # extra delta channel in the expand).
+                                # Opt-in: the expand overhead (~1.3 ms at
+                                # the bench config) only pays off when the
+                                # cull fraction is large — big/low-opacity
+                                # splats, post-reset phases
     tight_cull: bool = False        # exact ellipse-tile cull (opt-in: pays a
                                 # wider expand gather; the alpha-aware
                                 # radius in projection.py is always on)

@@ -54,6 +54,7 @@ def render(
     binning: str = "auto",
     dup_capacity: int = 0,
     tight_cull: bool = False,
+    corner_cull: bool = False,
     pair_tiles: bool = False,
 ) -> RenderOutput:
     p = gaussians.params
@@ -111,7 +112,7 @@ def render(
         rbins = bin_splats_records(
             jax.lax.stop_gradient(splats),
             tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity,
-            tight_cull=tight_cull)
+            tight_cull=tight_cull, corner_cull=corner_cull)
         records = pack_records(splats)
         image, depth, alpha = blend_records_pallas(
             records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,

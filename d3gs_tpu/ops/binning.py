@@ -230,7 +230,7 @@ def bin_splats_records(
     dup_capacity: int = 0,
     tile_y0: jax.Array | int = 0,
     tight_cull: bool = False,
-    corner_cull: bool = True,
+    corner_cull: bool = False,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
     blend_records): ragged expansion + one (tile, rank) key sort; the output
@@ -297,27 +297,23 @@ def bin_splats_records(
     geo = jnp.zeros((m_cap,), jnp.int32) \
         .at[mark_tgt].add(d_packed, mode="drop")
     if corner_cull:
-        # quantized (mean2d, cull_radius) as two more delta channels:
-        # 0.5 px steps, mean clipped INWARD (shrinks computed distance →
-        # conservative keep), radius ceil'd UP and clipped to a
-        # never-cull sentinel (8191.5 px > any supported screen diagonal)
-        mqx = jnp.clip(jnp.round(splats.means2d[:, 0] * 2.0), -8191, 8191) \
-            .astype(jnp.int32) + 8192
-        mqy = jnp.clip(jnp.round(splats.means2d[:, 1] * 2.0), -8191, 8191) \
-            .astype(jnp.int32) + 8192
-        mpk_u = mqx | (mqy << 14)
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius * 2.0), 0, 16383) \
+        # ONE extra delta channel: quantized mean (1 px, 12+12 bits,
+        # clipped INWARD — shrinks computed distance → conservative keep)
+        # + radius (1 px, ceil'd UP, 7 bits; 127 = never-cull sentinel for
+        # splats larger than 126 px) packed as mqx | mqy<<12 | rq<<24 —
+        # 31 bits inside one s32 cumsum chain.
+        mqx = jnp.clip(jnp.round(splats.means2d[:, 0]), -2047, 2047) \
+            .astype(jnp.int32) + 2048
+        mqy = jnp.clip(jnp.round(splats.means2d[:, 1]), -2047, 2047) \
+            .astype(jnp.int32) + 2048
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
             .astype(jnp.int32)
+        mpk_u = mqx | (mqy << 12) | (rq_u << 24)
         mpk = mpk_u[order]
-        rqo = rq_u[order]
         d_mpk = mpk - jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), mpk[:-1]])
-        d_rq = rqo - jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), rqo[:-1]])
         geo2 = jnp.zeros((m_cap,), jnp.int32) \
             .at[mark_tgt].add(d_mpk, mode="drop")
-        geo3 = jnp.zeros((m_cap,), jnp.int32) \
-            .at[mark_tgt].add(d_rq, mode="drop")
 
     m = jnp.arange(m_cap, dtype=jnp.int32)
     src_p1 = _cumsum_2d(marks)                             # src + 1
@@ -345,17 +341,18 @@ def bin_splats_records(
 
     if corner_cull:
         mpk_m = _cumsum_2d(geo2)                       # mpk[src]
-        rq_m = _cumsum_2d(geo3)                        # rq[src]
-        mx = ((mpk_m & 16383) - 8192).astype(jnp.float32) * 0.5
-        my = ((mpk_m >> 14) - 8192).astype(jnp.float32) * 0.5
+        mx = ((mpk_m & 4095) - 2048).astype(jnp.float32)
+        my = (((mpk_m >> 12) & 4095) - 2048).astype(jnp.float32)
+        rq_m = (mpk_m >> 24) & 127
         x0 = (tx * TILE).astype(jnp.float32)
         y0f = (ty * TILE).astype(jnp.float32)
         dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
         dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
-        # slack 0.5: 0.354 for the two 0.25 px mean quantizations + margin
+        # slack 0.9: 0.71 for the two 0.5 px mean quantizations + margin
         # for f32 rounding between this bound and the kernel's power eval
-        rub = rq_m.astype(jnp.float32) * 0.5 + 0.5
-        valid = valid & (dx * dx + dy * dy <= rub * rub)
+        rub = rq_m.astype(jnp.float32) + 0.9
+        keep = (dx * dx + dy * dy <= rub * rub) | (rq_m >= 127)
+        valid = valid & keep
 
     if tight_cull:
         # real f32 fields can't be delta-encoded exactly; tight_cull stays
@@ -408,7 +405,7 @@ def bin_splats_records_multi(
     tiles_x: int,
     tiles_y: int,
     dup_capacity_per_cam: int = 0,
-    corner_cull: bool = True,
+    corner_cull: bool = False,
 ) -> RecordBins:
     """Fused k-camera binning: ONE (camera, tile, depth)-keyed sort over all
     cameras' duplicate streams. The flagship trainer renders k cameras per
@@ -468,24 +465,19 @@ def bin_splats_records_multi(
     geo = jnp.zeros(k * mc, jnp.int32) \
         .at[flat_tgt].add(d_packed.reshape(-1), mode="drop")
     if corner_cull:
-        # quantized (mean2d, cull_radius) channels — see bin_splats_records
-        mqx = jnp.clip(jnp.round(splats.means2d[..., 0] * 2.0),
-                       -8191, 8191).astype(jnp.int32) + 8192
-        mqy = jnp.clip(jnp.round(splats.means2d[..., 1] * 2.0),
-                       -8191, 8191).astype(jnp.int32) + 8192
-        mpk_u = mqx | (mqy << 14)                             # (k, N)
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius * 2.0), 0, 16383) \
+        # one packed quantized mean+radius channel — see bin_splats_records
+        mqx = jnp.clip(jnp.round(splats.means2d[..., 0]),
+                       -2047, 2047).astype(jnp.int32) + 2048
+        mqy = jnp.clip(jnp.round(splats.means2d[..., 1]),
+                       -2047, 2047).astype(jnp.int32) + 2048
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
             .astype(jnp.int32)
+        mpk_u = mqx | (mqy << 12) | (rq_u << 24)              # (k, N)
         mpk = jnp.take_along_axis(mpk_u, order, axis=1)
-        rqo = jnp.take_along_axis(rq_u, order, axis=1)
         d_mpk = mpk - jnp.concatenate(
             [jnp.zeros((k, 1), jnp.int32), mpk[:, :-1]], axis=1)
-        d_rq = rqo - jnp.concatenate(
-            [jnp.zeros((k, 1), jnp.int32), rqo[:, :-1]], axis=1)
         geo2 = jnp.zeros(k * mc, jnp.int32) \
             .at[flat_tgt].add(d_mpk.reshape(-1), mode="drop")
-        geo3 = jnp.zeros(k * mc, jnp.int32) \
-            .at[flat_tgt].add(d_rq.reshape(-1), mode="drop")
 
     mflat = jnp.arange(k * mc, dtype=jnp.int32)
     src_cum = _cumsum_2d(marks)                               # flat running
@@ -518,21 +510,19 @@ def bin_splats_records_multi(
     valid = ((ml < jnp.repeat(total_c, mc)) & (src_p1 > 0)).reshape(k, mc)
     if corner_cull:
         mpk_cum = _cumsum_2d(geo2)
-        rq_cum = _cumsum_2d(geo3)
         base_mpk = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), mpk_cum[cam_end[1:]]])
-        base_rq = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), rq_cum[cam_end[1:]]])
         mpk_m = (mpk_cum.reshape(k, mc) - base_mpk[:, None]).reshape(-1)
-        rq_m = (rq_cum.reshape(k, mc) - base_rq[:, None]).reshape(-1)
-        mx = ((mpk_m & 16383) - 8192).astype(jnp.float32) * 0.5
-        my = ((mpk_m >> 14) - 8192).astype(jnp.float32) * 0.5
+        mx = ((mpk_m & 4095) - 2048).astype(jnp.float32)
+        my = (((mpk_m >> 12) & 4095) - 2048).astype(jnp.float32)
+        rq_m = (mpk_m >> 24) & 127
         x0 = (tx * TILE).astype(jnp.float32)
         y0f = (ty * TILE).astype(jnp.float32)
         dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
         dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
-        rub = rq_m.astype(jnp.float32) * 0.5 + 0.5
-        valid = valid & (dx * dx + dy * dy <= rub * rub).reshape(k, mc)
+        rub = rq_m.astype(jnp.float32) + 0.9
+        keep = (dx * dx + dy * dy <= rub * rub) | (rq_m >= 127)
+        valid = valid & keep.reshape(k, mc)
     cam = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 0)
     gtile = cam * num_tiles + (ty * tiles_x + tx).reshape(k, mc)  # (k, mc)
 

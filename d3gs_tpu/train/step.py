@@ -86,6 +86,7 @@ def make_train_step(
             binning=pipe_cfg.binning,
             dup_capacity=pipe_cfg.dup_capacity,
             tight_cull=pipe_cfg.tight_cull,
+            corner_cull=getattr(pipe_cfg, "corner_cull", False),
             pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias)
         ll1 = l1_loss(out.image, camera.image)
@@ -186,6 +187,7 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
                       tight_cull=pipe_cfg.tight_cull,
+                      corner_cull=getattr(pipe_cfg, "corner_cull", False),
                       pair_tiles=pipe_cfg.pair_tiles,
                       antialias=pipe_cfg.antialias)
 

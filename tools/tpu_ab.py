@@ -25,6 +25,7 @@ import numpy as np
 
 VARIANTS = {
     "base": {},
+    "no_corner_cull": {"corner_cull": False},
     "tight_cull": {"tight_cull": True},
     "pair_tiles": {"pair_tiles": True},
     "highest": {"train_matmul_precision": "highest"},

@@ -138,3 +138,39 @@ def mk_dupdate():
 
 device_time("deform optax update", mk_dupdate(),
              (dstate, jnp.asarray(0.0)))
+
+
+# --- full render + photometric loss fwd+bwd (no deform MLP) ---
+from d3gs_tpu.models.renderer import render
+from d3gs_tpu.ops.losses import l1_loss, ssim
+from d3gs_tpu.data.cameras import Camera
+
+cam = Camera(viewmatrix=vm, projmatrix=pm, campos=campos,
+             fid=jnp.asarray(0.5),
+             image=jnp.asarray(rng.random((H, W, 3)), jnp.float32),
+             width=W, height=H, fovx=fov, fovy=fov)
+bg = jnp.zeros(3)
+
+
+def mk_render_loss():
+    tap0 = jnp.zeros((CAP, 2))
+
+    def f(params, tap):
+        st = state.replace(params=params)
+        out = render(st, cam, bg=bg, means2d_tap=tap,
+                     tile_capacity=1024, tile_chunk=25,
+                     dup_capacity=393_216)
+        ll1 = l1_loss(out.image, cam.image)
+        return 0.8 * ll1 + 0.2 * (1.0 - ssim(out.image, cam.image))
+
+    grad = jax.value_and_grad(f, argnums=(0, 1))
+
+    def body(c):
+        p = state.params._replace(xyz=state.params.xyz + c * 0)
+        (_, (g, gt)) = grad(p, tap0)
+        return jnp.sum(g.xyz) * 1e-12 + jnp.sum(gt) * 1e-12
+    return body
+
+
+device_time("render+loss fwd+bwd (no deform)", mk_render_loss(),
+             jnp.asarray(0.0), n_lo=2, n_hi=10)

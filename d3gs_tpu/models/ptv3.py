@@ -24,8 +24,9 @@ TPU-first re-design decisions:
   * pure-JAX z-order (bit interleave) and Hilbert (Skilling transpose
     algorithm) encoders instead of LUT tensors / torch bit tricks;
   * flax MHA over (groups, patch, C) with mask, no flash-attn dependency;
-  * PDNorm (multi-dataset conditional norm) and drop-path are omitted —
-    both are training-recipe features orthogonal to the architecture.
+  * PDNorm (multi-dataset conditional norm) and drop-path (stochastic
+    depth) are implemented below (PDNorm, DropPath) with the reference's
+    defaults; both are off unless enabled in PTv3Config.
 
 Default widths/depths follow the reference constructor defaults
 (ptv3_model.py:787-815).

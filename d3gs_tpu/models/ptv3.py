@@ -26,7 +26,9 @@ TPU-first re-design decisions:
   * flax MHA over (groups, patch, C) with mask, no flash-attn dependency;
   * PDNorm (multi-dataset conditional norm) and drop-path (stochastic
     depth) are implemented below (PDNorm, DropPath) with the reference's
-    defaults; both are off unless enabled in PTv3Config.
+    defaults. PDNorm is off unless `pdnorm_ln` is set in PTv3Config;
+    drop-path defaults to the reference cap 0.3 but is inactive unless
+    the model is called with `deterministic=False`.
 
 Default widths/depths follow the reference constructor defaults
 (ptv3_model.py:787-815).

@@ -56,6 +56,7 @@ def render(
     tight_cull: bool = False,
     corner_cull: bool = False,
     pair_tiles: bool = False,
+    depth_grad: bool = True,
 ) -> RenderOutput:
     p = gaussians.params
 
@@ -117,7 +118,8 @@ def render(
         image, depth, alpha = blend_records_pallas(
             records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
             width=width, height=height,
-            interpret=jax.default_backend() != "tpu", pair=pair_tiles)
+            interpret=jax.default_backend() != "tpu", pair=pair_tiles,
+            depth_grad=depth_grad)
         return RenderOutput(image=image, depth=depth, alpha=alpha,
                             radii=splats.radii, counts=rbins.counts)
     if binning == "packed":
@@ -162,6 +164,7 @@ def render_multi(
     #                                            tap grads sum automatically
     dup_capacity: int = 0,
     pair_tiles: bool = False,
+    depth_grad: bool = True,
 ) -> RenderOutput:
     """Fused k-camera render: per-camera preprocessing under vmap, then ONE
     global (camera, tile, depth) sort and ONE pallas blend over k*T tiles
@@ -219,6 +222,7 @@ def render_multi(
     image, depth, alpha = blend_records_pallas_multi(
         records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
         width=width, height=height,
-        interpret=jax.default_backend() != "tpu", pair=pair_tiles)
+        interpret=jax.default_backend() != "tpu", pair=pair_tiles,
+        depth_grad=depth_grad)
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=splats_k.radii, counts=rbins.counts)

@@ -27,11 +27,11 @@ transposes. The cumulative-transmittance prefix scans run on the MXU as
 VPU-bound; the MXU is otherwise idle), with per-record transmittance
 recovered by one exp of the log-space prefix.
 
-Backward write routing: gradient blocks fully interior to one tile's
-segment are DMA'd to the main (Mb, 16, KB) output; each tile's first/last
-(possibly shared) blocks go to a per-tile edge output (T, 2, 16, KB) with
-non-owned lanes zeroed, so no block is written by two tiles. XLA masks
-out non-interior main blocks and scatter-adds both streams.
+Backward write routing (single-tile kernel): EVERY block of a nonempty
+tile goes through the double-buffered write DMA to the (Mb, 16, KB) main
+output; a shared boundary block is read-modify-written sequentially (TPU
+grid steps are serial on the core). The tile-paired kernels still route
+first/last blocks through a per-tile edge output (T, 2, 16, KB).
 """
 from __future__ import annotations
 
@@ -56,6 +56,9 @@ _ALPHA_MAX = 0.99
 _REC = 16                # packed record width (rasterize.RECORD_WIDTH)
 
 
+_LOG_AMIN = float(np.log(_ALPHA_MIN))
+
+
 def _pixel_grid():
     pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     lx = (pidx & (TILE - 1)).astype(jnp.float32)      # (P, 1)
@@ -63,22 +66,52 @@ def _pixel_grid():
     return lx, ly
 
 
-def _block_alpha(blk, px, py, kg, s0, s1):
-    """Shared fwd math for one (16, KB) record block against (P, 1) pixels.
+def _mono8():
+    """(P, 8) pixel monomials [1, lx, ly, lx², lx·ly, ly², 0, 0].
 
-    Returns alpha (P, KB) plus the pieces backward needs."""
-    mux, muy = blk[0:1], blk[1:2]
+    Columns 0-5 double as the backward's moment basis; all 8 feed the
+    forward's polynomial-coefficient matmul (k-dim padded to 8)."""
+    lx, ly = _pixel_grid()
+    one = jnp.ones_like(lx)
+    zr = jnp.zeros_like(lx)
+    return jnp.concatenate(
+        [one, lx, ly, lx * lx, lx * ly, ly * ly, zr, zr], axis=1)
+
+
+def _block_alpha(blk, oxv, oyv, mono8, live):
+    """Alpha for one record block against the tile pixel grid.
+
+    Direct per-pixel quadratic (dx/dy products on the VPU). An MXU
+    formulation — power+log(opa) as (P, 8) pixel monomials @ (8, KB)
+    per-record polynomial coefficients — was tried and measured SLOWER
+    (+0.12 µs/block): at these shapes the extra serialized small-matmul
+    latency exceeds the ~9 VPU passes it removes, and the kernels' MXU
+    slots are better spent on the transmittance scans.
+
+    `oxv`/`oyv`/`live` broadcast against (1, KB) rows, so the tile-paired
+    kernels pass per-lane-half (1, 2·KB) rows unchanged; `mono8` is
+    accepted for signature parity with that experiment (unused).
+
+    Returns alpha (P, KB) and the `clamped` zero-gradient mask."""
+    del mono8
+    lx, ly = _pixel_grid()
     ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
     opa = blk[8:9]
-    dx = mux - px                                      # (P, KB)
-    dy = muy - py
+    if oxv.ndim == 0 or oxv.shape[-1] == 1:
+        # single-tile kernels: scalar origin — keep the historical
+        # mux - (ox + lx) association (px stays a (P, 1) column)
+        dx = blk[0:1] - (oxv + lx)                     # (P, KB)
+        dy = blk[1:2] - (oyv + ly)
+    else:
+        # pair kernels: per-lane-half origin rows — (mux - ox) - lx
+        dx = (blk[0:1] - oxv) - lx
+        dy = (blk[1:2] - oyv) - ly
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = opa * jnp.exp(power)
-    live = (kg >= s0) & (kg < s1)                      # (1, KB)
     bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
     alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
     clamped = bad | (raw > _ALPHA_MAX)
-    return alpha, clamped, power, raw
+    return alpha, clamped
 
 
 def _tri_inc(n, *, seg128=False):
@@ -103,7 +136,8 @@ def _mxu_cumsum(x, tri):
     passes over (P, KB) per use, while (P, KB)@(KB, KB) runs on the
     otherwise-idle MXU. HIGHEST pins full-f32 passes: the sums feed exp()
     (transmittance) and gradient suffix differences, where single-bf16-pass
-    rounding would leak into training."""
+    rounding would leak into training (Mosaic rejects the cheaper HIGH
+    bf16x3 algorithm in-kernel)."""
     return jax.lax.dot_general(
         x, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -118,9 +152,9 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     b0 = s0 >> _LOG_KB
     nb = jnp.where(cnt > 0, ((s1 - 1) >> _LOG_KB) - b0 + 1, 0)
 
-    lx, ly = _pixel_grid()
-    px = ox_ref[t].astype(jnp.float32) + lx
-    py = oy_ref[t].astype(jnp.float32) + ly
+    ox = ox_ref[t].astype(jnp.float32)
+    oy = oy_ref[t].astype(jnp.float32)
+    mono8 = _mono8()
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
     tri = _tri_inc(KB)
     log_eps = jnp.float32(np.log(_T_EPS))
@@ -148,7 +182,8 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         dma(slot, b).wait()
         blk = buf[slot]                                # (16, KB)
         kg = (b0 + b) * KB + kcol
-        alpha, _, _, _ = _block_alpha(blk, px, py, kg, s0, s1)
+        live = (kg >= s0) & (kg < s1)                  # (1, KB)
+        alpha, _ = _block_alpha(blk, ox, oy, mono8, live)
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
         acc = _mxu_cumsum(lo, tri)                     # inclusive Σ log(1-α)
@@ -194,7 +229,8 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
 
 
 def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
-                gmain_ref, rbuf, wbuf, pbuf, rsem, wsem, psem):
+                gmain_ref, rbuf, wbuf, pbuf, rsem, wsem, psem, *,
+                depth_grad=True):
     """Single REVERSE sweep per tile (the CUDA backward's back-to-front
     replay, renderCUDA backward): walk blocks last→first carrying
     log-transmittance L = log T(after block) and the suffix sum
@@ -220,18 +256,20 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     b0 = s0 >> _LOG_KB
     nb = jnp.where(cnt > 0, ((s1 - 1) >> _LOG_KB) - b0 + 1, 0)
 
-    lx, ly = _pixel_grid()
     ox = ox_ref[t].astype(jnp.float32)
     oy = oy_ref[t].astype(jnp.float32)
-    px, py = ox + lx, oy + ly
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
-    mono = jnp.concatenate(
-        [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly], axis=1)
+    mono8 = _mono8()
+    mono = mono8[:, :6]
 
     # upstream cotangent channels + the fwd pass's anchors, read straight
-    # from the two (T, P, 8) buffers (no XLA-side repacking)
+    # from the two (T, P, 8) buffers (no XLA-side repacking). The alpha
+    # cotangent g_tf is live even for an image-only loss (the caller's
+    # `img + T_final·bg` composition routes bg gradients through it); the
+    # depth cotangent is statically zero for the photometric trainers and
+    # its math is skipped when depth_grad=False.
     g_img = g_ref[0, :, 0:3]                           # (P, 3)
-    g_dep = g_ref[0, :, 3:4]                           # (P, 1)
+    g_dep = g_ref[0, :, 3:4] if depth_grad else None   # (P, 1)
     g_tf = g_ref[0, :, 4:5]
     t_final = out_ref[0, :, 4:5]
     log_tend = out_ref[0, :, 5:6]                      # log T(end), (P, 1)
@@ -264,7 +302,8 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
 
     def grad_block(b, lcarry, sfx, blk):
         kg = (b0 + b) * KB + kcol
-        alpha, clamped, power, raw = _block_alpha(blk, px, py, kg, s0, s1)
+        live = (kg >= s0) & (kg < s1)
+        alpha, clamped = _block_alpha(blk, ox, oy, mono8, live)
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)                         # (P, KB), <= 0
         acc = _mxu_cumsum(lo, tri)                     # inclusive prefix
@@ -277,8 +316,9 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         w = jnp.where(inc, tb * alpha, 0.0)
         rgb, dpt = blk[5:8], blk[9:10]
         gw = jax.lax.dot_general(g_img, rgb, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) \
-            + g_dep * dpt                              # (P, KB)
+                                 preferred_element_type=jnp.float32)
+        if depth_grad:
+            gw = gw + g_dep * dpt                      # (P, KB)
         gww = gw * w
         pin = _mxu_cumsum(gww, tri)                    # inclusive prefix
         s_g = pin[:, KB - 1:KB]
@@ -314,8 +354,11 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         g_opa = jnp.where(jnp.abs(opa) > 1e-12, m1 / opa, 0.0)
         g_rgb = jax.lax.dot_general(g_img, w, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        g_dpt = jax.lax.dot_general(g_dep, w, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+        if depth_grad:
+            g_dpt = jax.lax.dot_general(g_dep, w, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            g_dpt = jnp.zeros((1, KB), jnp.float32)
         g_blk = jnp.concatenate(
             [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
              jnp.zeros((_REC - 10, KB), jnp.float32)], axis=0)
@@ -405,7 +448,7 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
     nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
     nb = jnp.maximum(nbA, nbB)
 
-    lx, ly = _pixel_grid()
+    mono8 = _mono8()
     kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
     kmod = kcol2 & (KB - 1)
     lanehalf = kcol2 >= KB
@@ -453,21 +496,11 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
             dma(slot, 1, b).wait()
 
         blk = jnp.concatenate([buf[slot, 0], buf[slot, 1]], axis=1)
-        # per-record fields, all (1, 2KB) rows
-        mm_x = blk[0:1] - oxv
-        mm_y = blk[1:2] - oyv
-        ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
-        opa = blk[8:9]
         kg = (b0v + b) * KB + kmod
         live = (kg >= s0v) & (kg < s1v)                    # (1, 2KB)
         # (a half with b >= nb_h has kg >= s1_h, so live masks it out; the
         # stale buffer contents never reach alpha)
-        dx = mm_x - lx                                     # (P, 2KB)
-        dy = mm_y - ly
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw = opa * jnp.exp(power)
-        bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
-        alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
+        alpha, _ = _block_alpha(blk, oxv, oyv, mono8, live)
 
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
@@ -540,7 +573,8 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
 
 
 def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
-                     gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem):
+                     gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem, *,
+                     depth_grad=True):
     """Tile-paired reverse sweep: same math as _bwd_kernel on (P, 2*KB)
     lane-stacked blocks, with per-half carries (log T, suffix sum) kept as
     (P, 2) columns and per-half interior-write DMA streams."""
@@ -553,7 +587,6 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     nbA = jnp.where(sA1 > sA0, ((sA1 - 1) >> _LOG_KB) - bA0 + 1, 0)
     nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
 
-    lx, ly = _pixel_grid()
     kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
     kmod = kcol2 & (KB - 1)
     lanehalf = kcol2 >= KB
@@ -565,11 +598,12 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     s0v = _sel_half(lanehalf, sA0, sA1)
     s1v = _sel_half(lanehalf, sA1, sB1)
     b0v = _sel_half(lanehalf, bA0, bB0)
-    mono = jnp.concatenate(
-        [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly], axis=1)
+    mono8 = _mono8()
+    mono = mono8[:, :6]
 
     g_imgA, g_imgB = g_ref[0, :, 0:3], g_ref[1, :, 0:3]
-    g_depA, g_depB = g_ref[0, :, 3:4], g_ref[1, :, 3:4]
+    if depth_grad:
+        g_depA, g_depB = g_ref[0, :, 3:4], g_ref[1, :, 3:4]
     gtt2 = jnp.concatenate(
         [g_ref[0, :, 4:5] * out_ref[0, :, 4:5],
          g_ref[1, :, 4:5] * out_ref[1, :, 4:5]], axis=1)   # (P, 2)
@@ -606,8 +640,6 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         dma_r(jax.lax.rem(beffB - 1, 2), 1, beffB - 1).start()
 
     def grad_block(b, lcarry2, sfx2, blk, bufA, bufB):
-        mm_x = blk[0:1] - oxv
-        mm_y = blk[1:2] - oyv
         ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
         opa = blk[8:9]
         kg = (b0v + b) * KB + kmod
@@ -615,13 +647,7 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         # truncate an i8 select result to an i1 vector
         proc = b < _sel_half(lanehalf, beffA, beffB)
         live = (kg >= s0v) & (kg < s1v) & proc
-        dx = mm_x - lx
-        dy = mm_y - ly
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw = opa * jnp.exp(power)
-        bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
-        alpha = jnp.where(bad, 0.0, jnp.minimum(_ALPHA_MAX, raw))
-        clamped = bad | (raw > _ALPHA_MAX)
+        alpha, clamped = _block_alpha(blk, oxv, oyv, mono8, live)
 
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
@@ -638,10 +664,13 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
 
         gwA = jax.lax.dot_general(
             g_imgA, bufA[5:8], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + g_depA * bufA[9:10]
+            preferred_element_type=jnp.float32)
         gwB = jax.lax.dot_general(
             g_imgB, bufB[5:8], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + g_depB * bufB[9:10]
+            preferred_element_type=jnp.float32)
+        if depth_grad:
+            gwA = gwA + g_depA * bufA[9:10]
+            gwB = gwB + g_depB * bufB[9:10]
         # non-processed halves read an uninitialized buffer: their lanes
         # must be hard-zeroed or NaNs leak into the suffix-sum carry
         gw = jnp.where(proc, jnp.concatenate([gwA, gwB], axis=1), 0.0)
@@ -667,7 +696,8 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
                                  precision=jax.lax.Precision.HIGHEST)
         m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
         mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
-        ux, uy = mm_x, mm_y
+        ux = blk[0:1] - oxv
+        uy = blk[1:2] - oyv
         sdx = ux * m1 - mx
         sdy = uy * m1 - my
         sdxx = ux * ux * m1 - 2.0 * ux * mx + mxx
@@ -685,14 +715,17 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         g_rgbB = jax.lax.dot_general(
             g_imgB, w[:, KB:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        g_dptA = jax.lax.dot_general(
-            g_depA, w[:, :KB], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        g_dptB = jax.lax.dot_general(
-            g_depB, w[:, KB:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if depth_grad:
+            g_dptA = jax.lax.dot_general(
+                g_depA, w[:, :KB], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_dptB = jax.lax.dot_general(
+                g_depB, w[:, KB:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_dpt = jnp.concatenate([g_dptA, g_dptB], axis=1)
+        else:
+            g_dpt = jnp.zeros((1, 2 * KB), jnp.float32)
         g_rgb = jnp.concatenate([g_rgbA, g_rgbB], axis=1)
-        g_dpt = jnp.concatenate([g_dptA, g_dptB], axis=1)
         g_blk = jnp.concatenate(
             [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
              jnp.zeros((_REC - 10, 2 * KB), jnp.float32)], axis=0)
@@ -813,12 +846,12 @@ def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret,
 
 
 def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
-                interpret, pair=False):
+                interpret, pair=False, depth_grad=True):
     mb = slab_blocks.shape[0]
     if pair:
         assert num_tiles % 2 == 0
         return pl.pallas_call(
-            _bwd_kernel_pair,
+            functools.partial(_bwd_kernel_pair, depth_grad=depth_grad),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(num_tiles // 2,),
@@ -841,7 +874,7 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
             interpret=interpret,
         )(starts, ox, oy, slab_blocks, g, out)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, depth_grad=depth_grad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_tiles,),
@@ -863,22 +896,26 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
 
 
 def _make_blocks(rec_pad, rank_pad):
-    """(N+1,16) records + (Mpad,) depth-ranks -> (Mb,16,KB) sorted blocks."""
+    """(N+1,16) records + (Mpad,) depth-ranks -> (Mb,16,KB) sorted blocks.
+
+    16 sublane rows keep every DMA (8, 128)-tile aligned (a 10-row block
+    measured ~20x slower end-to-end and faulted the TPU worker); rows
+    10-15 ride along as zeros."""
     slab = rec_pad[rank_pad]                           # (Mpad, 16)
     mb = slab.shape[0] // KB
     return slab.reshape(mb, KB, _REC).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _core(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
-          interpret, pair):
+          interpret, pair, depth_grad):
     out, _ = _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy,
-                       num_tiles, interpret, pair)
+                       num_tiles, interpret, pair, depth_grad)
     return out
 
 
 def _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
-              interpret, pair):
+              interpret, pair, depth_grad):
     slab_blocks = _make_blocks(rec_pad, rank_pad)
     out = _fwd_pallas(slab_blocks, starts, ox, oy, num_tiles=num_tiles,
                       interpret=interpret, pair=pair)
@@ -886,13 +923,14 @@ def _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
                  rec_pad.shape[0])
 
 
-def _core_bwd(num_tiles, interpret, pair, res, g):
+def _core_bwd(num_tiles, interpret, pair, depth_grad, res, g):
     slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
     if pair:
         g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
                                      num_tiles=num_tiles,
-                                     interpret=interpret, pair=pair)
+                                     interpret=interpret, pair=pair,
+                                     depth_grad=depth_grad)
         # merge the edge stream in BLOCK space: each tile's first/last block
         # is one whole (16, KB) row — ~2T indices, per-index scatter cost is
         # tiny. The pair kernel writes every interior block of every tile
@@ -914,7 +952,7 @@ def _core_bwd(num_tiles, interpret, pair, res, g):
         # written, shared boundary blocks already accumulated in-kernel
         [g_all] = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
                               num_tiles=num_tiles, interpret=interpret,
-                              pair=pair)
+                              pair=pair, depth_grad=depth_grad)
 
     # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
     # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): stably
@@ -982,7 +1020,7 @@ _reorder.defvjp(_reorder_fwd, _reorder_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
-                              "interpret", "pair"))
+                              "interpret", "pair", "depth_grad"))
 def blend_records_pallas(
     records: jax.Array,          # (N, 16) packed, ORIGINAL gaussian order
     bins: RecordBins,
@@ -995,6 +1033,7 @@ def blend_records_pallas(
     interpret: bool = False,
     tile_y0: jax.Array | int = 0,
     pair: bool = False,
+    depth_grad: bool = True,
 ):
     """Drop-in replacement for rasterize.blend_records with no tile-capacity
     cap (full per-tile lists are blended, matching the CUDA semantics)."""
@@ -1025,7 +1064,8 @@ def blend_records_pallas(
         starts_i = jnp.concatenate([starts_i, starts_i[-1:]])
 
     out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
-                starts_i, ox, oy, tpad, interpret, pair)[:num_tiles]
+                starts_i, ox, oy, tpad, interpret, pair,
+                depth_grad)[:num_tiles]
     img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
     dep = out[:, :, 3]
     alpha = 1.0 - out[:, :, 4]
@@ -1042,7 +1082,7 @@ def blend_records_pallas(
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
-                              "interpret", "pair"))
+                              "interpret", "pair", "depth_grad"))
 def blend_records_pallas_multi(
     records: jax.Array,          # (k, N, 16) packed, per-camera orig order
     bins: RecordBins,            # from binning.bin_splats_records_multi
@@ -1054,6 +1094,7 @@ def blend_records_pallas_multi(
     height: int,
     interpret: bool = False,
     pair: bool = False,
+    depth_grad: bool = True,
 ):
     """Fused k-camera blend: the SAME pallas kernels run over one grid of
     k*T global tiles (flagship trainer, reference train.py:224-251). Images
@@ -1089,7 +1130,7 @@ def blend_records_pallas_multi(
         starts_i = jnp.concatenate([starts_i, starts_i[-1:]])
 
     out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
-                starts_i, ox, oy, tpad, interpret, pair)[:gt]
+                starts_i, ox, oy, tpad, interpret, pair, depth_grad)[:gt]
 
     out = out.reshape(k, t_local, P, 8)
     img = out[..., 0:3] + out[..., 4:5] * bg[None, None, None, :]

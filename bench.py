@@ -68,8 +68,13 @@ def main():
     dstate, field = create_deform_field(spec, jax.random.PRNGKey(0))
 
     opt_cfg = OptimizationParams()
+    # dup budget: the scene is steady-state (no densify in the timed loop),
+    # observed duplicate total is ~332k; 352k = 6% headroom. Every
+    # M-proportional stage (expand, key sort, slab gather, grad reduction)
+    # scales with this budget, so the 2x headroom the training auto-tuner
+    # keeps for evolving scenes would be pure overhead here.
     pipe_cfg = PipelineParams(tile_capacity=1024, tile_chunk=25,
-                              dup_capacity=393_216)
+                              dup_capacity=352_256)
 
     def deform_fn(d_params, xyz, fid, iteration, key):
         return field.step(d_params, xyz, fid)

@@ -126,22 +126,41 @@ def _tri_inc(n, *, seg128=False):
     ok = row <= col
     if seg128:
         ok = ok & ((row >> _LOG_KB) == (col >> _LOG_KB))
-    return ok.astype(jnp.float32)
+    # bf16: 0/1 entries are exact; consumed by the 3-chunk split matmuls
+    return ok.astype(jnp.bfloat16)
+
+
+def _split3(x):
+    """x == x1 + x2 + x3 with each chunk exactly bf16-representable.
+
+    Classic extended-precision splitting: each residual subtraction is
+    exact in f32, so three 8-bit-mantissa chunks capture the full 24-bit
+    f32 mantissa (residual <= 1 ulp)."""
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x1, x2, x3
 
 
 def _mxu_cumsum(x, tri):
-    """Inclusive prefix sum along lanes as ONE MXU matmul.
+    """Inclusive prefix sum along lanes via MXU matmuls at full f32
+    accuracy in THREE bf16 passes.
 
-    The kernels are VPU-bound; the log2(KB) roll-ladder scan costs ~21 VPU
-    passes over (P, KB) per use, while (P, KB)@(KB, KB) runs on the
-    otherwise-idle MXU. HIGHEST pins full-f32 passes: the sums feed exp()
-    (transmittance) and gradient suffix differences, where single-bf16-pass
-    rounding would leak into training (Mosaic rejects the cheaper HIGH
-    bf16x3 algorithm in-kernel)."""
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    The sums feed exp() (transmittance) and gradient suffix differences,
+    so single-bf16-pass rounding would leak into training; but `tri` is a
+    0/1 matrix (exactly bf16), so splitting x into three exact bf16
+    chunks (_split3) and summing three bf16 MXU passes reproduces
+    full-f32 products with f32 accumulation — the same accuracy class as
+    a 6-pass HIGHEST matmul at half the MXU work (Mosaic rejects
+    Precision.HIGH in-kernel, hence the manual split)."""
+    x1, x2, x3 = _split3(x)
+
+    def d(a):
+        return jax.lax.dot_general(
+            a, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return d(x1) + (d(x2) + d(x3))
 
 
 def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
@@ -260,7 +279,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     oy = oy_ref[t].astype(jnp.float32)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
     mono8 = _mono8()
-    mono = mono8[:, :6]
+    mono_b = mono8[:, :6].astype(jnp.bfloat16)   # integer entries: exact
 
     # upstream cotangent channels + the fwd pass's anchors, read straight
     # from the two (T, P, 8) buffers (no XLA-side repacking). The alpha
@@ -327,14 +346,17 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         incf = inc.astype(jnp.float32)
         g_alpha = gw * tb * incf - (suffix + gtt * incf) * inv_om
         g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
-        # HIGHEST precision: the moment-difference reconstruction below
-        # (Sdx = ux*M1 - Mx, ...) cancels heavily for in-tile gaussians, so
-        # single-pass-bf16 MXU rounding of the moments turns into large
-        # relative error on the mean/conic gradients — enough to diverge
-        # training (geometry params NaN while opacity/color stay clean)
-        m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        # full-f32-accurate moments in 3 bf16 passes: the moment-difference
+        # reconstruction below (Sdx = ux*M1 - Mx, ...) cancels heavily for
+        # in-tile gaussians, so single-pass-bf16 rounding of the moments
+        # turns into large relative error on the mean/conic gradients —
+        # enough to diverge training. `mono` entries are integers <= 225
+        # (exactly bf16); g_power rides the 3-chunk split.
+        gp1, gp2, gp3 = _split3(g_power)
+        md = lambda a: jax.lax.dot_general(   # noqa: E731
+            mono_b, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m6 = md(gp1) + (md(gp2) + md(gp3))
         m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
         mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
         ux = blk[0:1] - ox
@@ -599,7 +621,7 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     s1v = _sel_half(lanehalf, sA1, sB1)
     b0v = _sel_half(lanehalf, bA0, bB0)
     mono8 = _mono8()
-    mono = mono8[:, :6]
+    mono_b = mono8[:, :6].astype(jnp.bfloat16)   # integer entries: exact
 
     g_imgA, g_imgB = g_ref[0, :, 0:3], g_ref[1, :, 0:3]
     if depth_grad:
@@ -686,14 +708,17 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         incf = inc.astype(jnp.float32)
         g_alpha = gw * tb * incf - (suffix + gtt_e * incf) * inv_om
         g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
-        # HIGHEST precision: the moment-difference reconstruction below
-        # (Sdx = ux*M1 - Mx, ...) cancels heavily for in-tile gaussians, so
-        # single-pass-bf16 MXU rounding of the moments turns into large
-        # relative error on the mean/conic gradients — enough to diverge
-        # training (geometry params NaN while opacity/color stay clean)
-        m6 = jax.lax.dot_general(mono, g_power, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        # full-f32-accurate moments in 3 bf16 passes: the moment-difference
+        # reconstruction below (Sdx = ux*M1 - Mx, ...) cancels heavily for
+        # in-tile gaussians, so single-pass-bf16 rounding of the moments
+        # turns into large relative error on the mean/conic gradients —
+        # enough to diverge training. `mono` entries are integers <= 225
+        # (exactly bf16); g_power rides the 3-chunk split.
+        gp1, gp2, gp3 = _split3(g_power)
+        md = lambda a: jax.lax.dot_general(   # noqa: E731
+            mono_b, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m6 = md(gp1) + (md(gp2) + md(gp3))
         m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
         mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
         ux = blk[0:1] - oxv

@@ -30,7 +30,7 @@ from flax import struct
 
 from ...ops.schedules import expon_lr
 from .networks import (DeformMLP, DeformNetworkODE, DeformNetworkSimple,
-                       DeformNetworkSimpleStart)
+                       DeformNetworkSimpleStart, deform_mlp_fused_apply)
 from .ode import (odeint_adaptive, odeint_adaptive_from_zero,
                   odeint_from_zero, odeint_grid)
 
@@ -60,6 +60,21 @@ class DeformFieldSpec:
                                      # bf16 halves MLP time but measured
                                      # ~0.9 dB PSNR cost at 2k iters on the
                                      # synthetic scene — opt-in only
+    fused: bool = False              # route the canonical 8x256 DeformMLP
+                                     # through the fused Pallas trunk
+                                     # (ops/fused_mlp.py): VMEM-resident
+                                     # activations, no HBM residuals.
+                                     # Standalone it is ~1.6x faster
+                                     # (2.19 -> 1.39 ms fwd+bwd at N=44k),
+                                     # but in the SINGLE-EVAL baseline step
+                                     # it measures ~1.3 ms SLOWER: XLA
+                                     # horizontally fuses ~2 ms of N-scale
+                                     # elementwise work (SH eval, Adam,
+                                     # activations) into the flax MLP's
+                                     # matmul programs, and removing the
+                                     # MLP exposes those as standalone
+                                     # HBM passes. Opt-in; the win case is
+                                     # multi-eval (ODE/window) trainers.
 
 
 @struct.dataclass
@@ -150,11 +165,19 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         return expon_lr(iteration, lr_init=lr_init, lr_final=lr_final,
                         lr_delay_mult=delay_mult, max_steps=max_steps)
 
+    use_fused = (spec.fused and spec.kind in ("baseline", "warp")
+                 and not spec.is_6dof and spec.D == 8 and spec.W == 256
+                 and spec.multires == 10
+                 and spec.compute_dtype != "bfloat16")
+
     # --- step functions --------------------------------------------------
     def step(params, xyz, t, y0=None):
         """Single-time deformation at (scalar) fid t."""
         n = xyz.shape[0]
         if spec.kind in ("baseline", "warp"):
+            if use_fused:
+                return deform_mlp_fused_apply(
+                    net, params, xyz, jnp.reshape(t, (-1,))[:1])
             t_col = jnp.broadcast_to(jnp.reshape(t, (-1, 1))[:1], (n, 1))
             return net.apply(params, xyz, t_col)
         if spec.kind == "ode" or spec.kind == "simple":
@@ -179,6 +202,13 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         Returns (dxs (T, N, 3|4x4), drs, dss)."""
         n = xyz.shape[0]
         if spec.kind in ("baseline", "warp"):
+            if use_fused:
+                # lax.map (not vmap): batching a pallas_call would fold T
+                # into the grid but break the constant-index weight blocks
+                return jax.lax.map(
+                    lambda t: deform_mlp_fused_apply(
+                        net, params, xyz, jnp.reshape(t, (1,))), ts)
+
             def one(t):
                 t_col = jnp.full((n, 1), t)
                 return net.apply(params, xyz, t_col)

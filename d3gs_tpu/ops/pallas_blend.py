@@ -985,6 +985,10 @@ def _core_bwd(num_tiles, interpret, pair, depth_grad, res, g):
     # segments, gather the rows through that permutation, then one cumsum +
     # segment-boundary difference. rank_pad's sentinel n1-1 rows
     # (padding/culled entries, all-zero gradients) sort last.
+    # (A/B'd alternative — carrying all 16 gradient channels through the
+    # sort as payload operands to skip the row gather — measured SLOWER at
+    # bench scale: 3.0 vs 2.5 ms; the 17-operand sort alone is 1.3 ms and
+    # the channel restack/transpose eats the rest. tools/exp_red2.py.)
     g_flat = g_all.transpose(0, 2, 1).reshape(mb * KB, _REC)
     mpad = mb * KB
     iota = jnp.arange(mpad, dtype=jnp.int32)
@@ -995,7 +999,9 @@ def _core_bwd(num_tiles, interpret, pair, depth_grad, res, g):
     # MXU matmul per 128-row block + a short cross-block carry is ~0.5 ms.
     # HIGHEST keeps the prefix sums at f32 accuracy (they difference into
     # per-rank segment sums below — bf16 passes would leak into the
-    # mean/conic gradients).
+    # mean/conic gradients). Precision.HIGH (bf16x3) A/B'd ~0.5 ms SLOWER
+    # end-to-end here — XLA's HIGH lowering tiles this contraction worse
+    # than its HIGHEST one; only the in-kernel _split3 variant wins.
     g3 = g_dd.reshape(mb, KB, _REC)
     tri = jnp.tril(jnp.ones((KB, KB), jnp.float32))
     within = jax.lax.dot_general(

@@ -173,7 +173,7 @@ device_time("bwd XLA reduction", red_body, jnp.asarray(0.0))
 # --- full core fwd+bwd ---
 def core_body(c):
     def f(rp):
-        out = PB._core(rp, rank_pad0, rb0, starts0, ox, oy, T, False, False)
+        out = PB._core(rp, rank_pad0, rb0, starts0, ox, oy, T, False, False, False)
         return jnp.sum(out[:, :, 0] ** 2)
     return jnp.sum(jax.grad(f)(rec_pad0 + c * 0)) * 1e-12
 

@@ -30,7 +30,8 @@ from flax import struct
 
 from ...ops.schedules import expon_lr
 from .networks import (DeformMLP, DeformNetworkODE, DeformNetworkSimple,
-                       DeformNetworkSimpleStart, deform_mlp_fused_apply)
+                       DeformNetworkSimpleStart, deform_mlp_fused_apply,
+                       deform_ode_fused_apply)
 from .ode import (odeint_adaptive, odeint_adaptive_from_zero,
                   odeint_from_zero, odeint_grid)
 
@@ -60,8 +61,8 @@ class DeformFieldSpec:
                                      # bf16 halves MLP time but measured
                                      # ~0.9 dB PSNR cost at 2k iters on the
                                      # synthetic scene — opt-in only
-    fused: bool = False              # route the canonical 8x256 DeformMLP
-                                     # through the fused Pallas trunk
+    fused: Optional[bool] = None     # route the canonical 8x256 trunk
+                                     # through the fused Pallas kernel
                                      # (ops/fused_mlp.py): VMEM-resident
                                      # activations, no HBM residuals.
                                      # Standalone it is ~1.6x faster
@@ -72,9 +73,16 @@ class DeformFieldSpec:
                                      # elementwise work (SH eval, Adam,
                                      # activations) into the flax MLP's
                                      # matmul programs, and removing the
-                                     # MLP exposes those as standalone
-                                     # HBM passes. Opt-in; the win case is
-                                     # multi-eval (ODE/window) trainers.
+                                     # MLP exposes those as standalone HBM
+                                     # passes. In the ODE integrators it
+                                     # ALSO measures slower (264 vs 237 ms
+                                     # per 4-fid window at N=44k): the
+                                     # checkpointed-scan backward already
+                                     # rematerializes activations,
+                                     # neutralizing the no-residual win,
+                                     # while per-eval weight repacking and
+                                     # lost fusion add cost. None = off
+                                     # (strictly opt-in everywhere).
 
 
 @struct.dataclass
@@ -165,10 +173,25 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         return expon_lr(iteration, lr_init=lr_init, lr_final=lr_final,
                         lr_delay_mult=delay_mult, max_steps=max_steps)
 
-    use_fused = (spec.fused and spec.kind in ("baseline", "warp")
-                 and not spec.is_6dof and spec.D == 8 and spec.W == 256
-                 and spec.multires == 10
-                 and spec.compute_dtype != "bfloat16")
+    _canonical = (spec.D == 8 and spec.W == 256 and spec.multires == 10
+                  and spec.compute_dtype != "bfloat16")
+    use_fused = ((spec.fused is True)
+                 and spec.kind in ("baseline", "warp")
+                 and not spec.is_6dof and _canonical)
+    use_fused_ode = ((spec.fused is True)
+                     and spec.kind == "ode" and spec.use_linear == 0
+                     and spec.use_emb and tuple(spec.skips) == (4,)
+                     and _canonical)
+
+    def _ode_f(params):
+        """Dynamics f(t, y) for the integrators; scalar-t evals route
+        through the fused trunk (per-sample time-vector evals fall back —
+        the fused path's time-band bias fold needs one shared t)."""
+        def f(tt, yy):
+            if use_fused_ode and jnp.size(tt) <= 1:
+                return deform_ode_fused_apply(net, params, tt, yy)
+            return net.apply(params, tt, yy)
+        return f
 
     # --- step functions --------------------------------------------------
     def step(params, xyz, t, y0=None):
@@ -181,7 +204,7 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
             t_col = jnp.broadcast_to(jnp.reshape(t, (-1, 1))[:1], (n, 1))
             return net.apply(params, xyz, t_col)
         if spec.kind == "ode" or spec.kind == "simple":
-            f = lambda tt, yy: net.apply(params, tt, yy)
+            f = _ode_f(params)
         else:  # simple_start
             anchor = xyz if y0 is None else y0
             f = lambda tt, yy: net.apply(params, tt, yy, anchor)
@@ -214,10 +237,8 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
                 return net.apply(params, xyz, t_col)
             dx, dr, ds = jax.vmap(one)(ts)
             return dx, dr, ds
-        if spec.kind == "ode":
-            f = lambda tt, yy: net.apply(params, tt, yy)
-        elif spec.kind == "simple":
-            f = lambda tt, yy: net.apply(params, tt, yy)
+        if spec.kind in ("ode", "simple"):
+            f = _ode_f(params)
         else:
             anchor = xyz if y0 is None else y0
             f = lambda tt, yy: net.apply(params, tt, yy, anchor)

@@ -80,3 +80,37 @@ def test_field_step_uses_fused_and_matches_flax():
     mr = field_r.step_multi(st.params, x, ts)
     for a, b in zip(mf, mr):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("is_blender", [True, False])
+def test_fused_ode_dynamics_matches_flax(is_blender):
+    from d3gs_tpu.models.deform.networks import (DeformNetworkODE,
+                                                 deform_ode_fused_apply)
+    net = DeformNetworkODE(is_blender=is_blender, output_scale=0.3)
+    x = jax.random.normal(jax.random.PRNGKey(5), (600, 3))
+    t = jnp.full((600, 1), 0.21)
+    params = net.init(jax.random.PRNGKey(4), t, x)
+
+    ref = net.apply(params, t, x)
+    got = deform_ode_fused_apply(net, params, jnp.asarray([0.21]), x)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    g_r = jax.grad(lambda p: jnp.sum(net.apply(p, t, x) ** 2))(params)
+    g_f = jax.grad(lambda p: jnp.sum(deform_ode_fused_apply(
+        net, p, jnp.asarray([0.21]), x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(b, a, rtol=3e-5, atol=3e-6)
+
+
+def test_ode_field_fused_matches_flax_integration():
+    """Full RK4 trajectory through the fused dynamics == flax dynamics."""
+    spec_f = DeformFieldSpec(kind="ode", is_blender=True, n_substeps=2)
+    spec_r = DeformFieldSpec(kind="ode", is_blender=True, n_substeps=2,
+                             fused=False)
+    st, field_f = create_deform_field(spec_f, jax.random.PRNGKey(0))
+    _, field_r = create_deform_field(spec_r, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (300, 3)) * 0.5
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    mf = field_f.step_multi(st.params, x, ts)
+    mr = field_r.step_multi(st.params, x, ts)
+    np.testing.assert_allclose(mf[0], mr[0], rtol=5e-5, atol=5e-6)

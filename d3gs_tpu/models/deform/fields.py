@@ -253,6 +253,11 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         return ys, r, s
 
     # --- optimizer (torch Adam, eps 1e-15, optional weight decay) --------
+    # The update runs on ONE raveled vector per (p, m, v, g): a per-leaf
+    # update emits ~3 tiny fused ops per tensor (36+ dispatches for the
+    # 8x256 MLP, ~0.45 ms/step on TPU — pure launch overhead for a 1.7M-
+    # param model), while ravel+update+unravel is 3 concats + 1 split over
+    # ~7 MB each (~0.03 ms). Rounding is identical: the math is elementwise.
     def update(state: DeformState, grads, iteration):
         lr = lr_at(iteration)
         count = state.count + 1
@@ -260,27 +265,31 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         c1 = 1.0 - 0.9 ** t
         c2 = 1.0 - 0.999 ** t
 
-        def upd(p, g, m, v):
-            if weight_decay:
-                g = g + weight_decay * p
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * g * g
-            return p - lr * (m / c1) / (jnp.sqrt(v / c2) + 1e-15), m, v
+        treedef = jax.tree.structure(state.params)
+        shapes = [l.shape for l in jax.tree.leaves(state.params)]
+        sizes = [int(np.prod(s)) for s in shapes]
+        rav = lambda tree: jnp.concatenate(  # noqa: E731
+            [l.reshape(-1) for l in jax.tree.leaves(tree)])
+        p = rav(state.params)
+        g = rav(grads)
+        m = rav(state.m)
+        v = rav(state.v)
+        if weight_decay:
+            g = g + weight_decay * p
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        p = p - lr * (m / c1) / (jnp.sqrt(v / c2) + 1e-15)
 
-        flat_p, treedef = jax.tree.flatten(state.params)
-        flat_g = jax.tree.leaves(grads)
-        flat_m = jax.tree.leaves(state.m)
-        flat_v = jax.tree.leaves(state.v)
-        new_p, new_m, new_v = [], [], []
-        for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v):
-            a, b, c = upd(p, g, m, v)
-            new_p.append(a)
-            new_m.append(b)
-            new_v.append(c)
-        return DeformState(
-            params=jax.tree.unflatten(treedef, new_p),
-            m=jax.tree.unflatten(treedef, new_m),
-            v=jax.tree.unflatten(treedef, new_v), count=count)
+        def unrav(flat):
+            off, leaves = 0, []
+            for shape, size in zip(shapes, sizes):
+                leaves.append(jax.lax.dynamic_slice_in_dim(
+                    flat, off, size).reshape(shape))
+                off += size
+            return jax.tree.unflatten(treedef, leaves)
+
+        return DeformState(params=unrav(p), m=unrav(m), v=unrav(v),
+                           count=count)
 
     field = DeformField(spec=spec, apply=net.apply, step=step,
                         step_multi=step_multi, lr_at=lr_at, update=update)

@@ -198,28 +198,49 @@ def _tile_max_power(mux, muy, ca, cb, cc, tx, ty):
     return jnp.where(inside, 0.0, pmax)
 
 
-def _cumsum_2d(x: jax.Array, row: int = 512) -> jax.Array:
-    """Inclusive cumsum over a 1-D f32/i32 array via a (rows, row) reshape.
+def _scan_rows(x2: jax.Array, op) -> jax.Array:
+    """Inclusive log-depth prefix (Hillis–Steele) along axis 1.
 
-    XLA lowers a long 1-D cumsum to an O(window) reduce-window sweep
-    (measured ~0.7 ms at M=393k inside a fused step); the two-level
-    rows+carry form is ~free. Caller guarantees len(x) % row == 0."""
-    x2 = x.reshape(-1, row)
-    within = jnp.cumsum(x2, axis=1)
-    rowsum = within[:, -1]
-    carry = jnp.cumsum(rowsum) - rowsum
-    return (within + carry[:, None]).reshape(-1)
+    `jnp.cumsum`/`lax.cummax` along a 512-wide axis lower to an O(width)
+    reduce-window sweep on TPU (~0.3 ms each at M=393k — the dominant cost
+    of the whole expand); log2(width) shifted-combine passes are exact for
+    ints and ~10x cheaper."""
+    rows, row = x2.shape
+    d = 1
+    while d < row:
+        shifted = jnp.pad(x2, ((0, 0), (d, 0)))[:, :row]
+        x2 = op(x2, shifted)
+        d *= 2
+    return x2
+
+
+def _cumsum_2d(x: jax.Array, row: int = 512) -> jax.Array:
+    """Inclusive cumsum over a 1-D int/f32 array via a (rows, row) reshape:
+    log-depth within rows + a short cross-row carry. Exact for ints (s32
+    adds). Caller guarantees len(x) % row == 0."""
+    x2 = _scan_rows(x.reshape(-1, row), jnp.add)
+    rowsum = x2[:, -1]
+    carry = jnp.cumsum(rowsum) - rowsum          # (rows,) — tiny
+    return (x2 + carry[:, None]).reshape(-1)
 
 
 def _cummax_2d(x: jax.Array, row: int = 512) -> jax.Array:
-    """Inclusive cumulative max of a 1-D int array, same two-level scheme."""
+    """Inclusive cumulative max of a 1-D int array, same two-level scheme.
+    The pad's zero fill is safe: inputs here are >= -1 positions where the
+    only negative value (-1) also lower-bounds the pad lanes' influence —
+    but to stay generic the shifted pad lanes are masked to the dtype min."""
+    mn = jnp.iinfo(x.dtype).min
     x2 = x.reshape(-1, row)
-    within = jax.lax.cummax(x2, axis=1)
-    rowmax = within[:, -1]
+    rows, row_ = x2.shape
+    d = 1
+    while d < row_:
+        shifted = jnp.pad(x2, ((0, 0), (d, 0)), constant_values=mn)[:, :row_]
+        x2 = jnp.maximum(x2, shifted)
+        d *= 2
+    rowmax = x2[:, -1]
     carry = jax.lax.cummax(rowmax, axis=0)
-    carry = jnp.concatenate([jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype),
-                             carry[:-1]])
-    return jnp.maximum(within, carry[:, None]).reshape(-1)
+    carry = jnp.concatenate([jnp.full((1,), mn, x.dtype), carry[:-1]])
+    return jnp.maximum(x2, carry[:, None]).reshape(-1)
 
 
 def bin_splats_records(
@@ -278,13 +299,25 @@ def bin_splats_records(
     cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)
 
     depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
-    order = jnp.argsort(depth_key)
 
     bw1 = jnp.maximum(bw_u, 1)
     packed_u = (splats.tile_min[:, 0] | (ty_lo_u << 7) | (bw1 << 14)) \
         .astype(jnp.int32)
-    cnt = cnt_u[order]
-    packed = packed_u[order]
+    # cnt/packed (+ the corner-cull channel) ride the depth argsort as sort
+    # PAYLOADS: a separate `cnt_u[order]` gather costs ~7 ns/element on TPU
+    # (0.3 ms each at N=44k) while an extra sort operand at N-scale is ~free
+    payload = [cnt_u, packed_u]
+    if corner_cull:
+        mqx = jnp.clip(jnp.round(splats.means2d[:, 0]), -2047, 2047) \
+            .astype(jnp.int32) + 2048
+        mqy = jnp.clip(jnp.round(splats.means2d[:, 1]), -2047, 2047) \
+            .astype(jnp.int32) + 2048
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
+            .astype(jnp.int32)
+        payload.append(mqx | (mqy << 12) | (rq_u << 24))
+    out = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32), *payload), num_keys=1)
+    order, cnt, packed = out[1], out[2], out[3]
     offsets = jnp.cumsum(cnt) - cnt
     total = offsets[-1] + cnt[-1]
 
@@ -301,15 +334,8 @@ def bin_splats_records(
         # clipped INWARD — shrinks computed distance → conservative keep)
         # + radius (1 px, ceil'd UP, 7 bits; 127 = never-cull sentinel for
         # splats larger than 126 px) packed as mqx | mqy<<12 | rq<<24 —
-        # 31 bits inside one s32 cumsum chain.
-        mqx = jnp.clip(jnp.round(splats.means2d[:, 0]), -2047, 2047) \
-            .astype(jnp.int32) + 2048
-        mqy = jnp.clip(jnp.round(splats.means2d[:, 1]), -2047, 2047) \
-            .astype(jnp.int32) + 2048
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
-            .astype(jnp.int32)
-        mpk_u = mqx | (mqy << 12) | (rq_u << 24)
-        mpk = mpk_u[order]
+        # 31 bits inside one s32 cumsum chain. (mpk rode the depth sort.)
+        mpk = out[4]
         d_mpk = mpk - jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), mpk[:-1]])
         geo2 = jnp.zeros((m_cap,), jnp.int32) \
@@ -440,7 +466,6 @@ def bin_splats_records_multi(
                        0).astype(jnp.int32)
     cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)         # (k, N)
     depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
-    order = jnp.argsort(depth_key, axis=1)                    # (k, N)
 
     # same two-scatter delta expand as bin_splats_records, flattened to one
     # (k*mc,) stream. Per-camera value recovery subtracts each camera's
@@ -450,8 +475,21 @@ def bin_splats_records_multi(
     bw1 = jnp.maximum(bw_u, 1)
     packed_u = (splats.tile_min[..., 0] | (splats.tile_min[..., 1] << 7)
                 | (bw1 << 14)).astype(jnp.int32)
-    cnt = jnp.take_along_axis(cnt_u, order, axis=1)           # (k, N)
-    packed = jnp.take_along_axis(packed_u, order, axis=1)
+    # cnt/packed (+ corner-cull channel) ride the per-camera depth argsort
+    # as payloads — take_along_axis gathers cost ~7 ns/element on TPU
+    payload = [cnt_u, packed_u]
+    if corner_cull:
+        mqx = jnp.clip(jnp.round(splats.means2d[..., 0]),
+                       -2047, 2047).astype(jnp.int32) + 2048
+        mqy = jnp.clip(jnp.round(splats.means2d[..., 1]),
+                       -2047, 2047).astype(jnp.int32) + 2048
+        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
+            .astype(jnp.int32)
+        payload.append(mqx | (mqy << 12) | (rq_u << 24))
+    sorted_out = jax.lax.sort(
+        (depth_key, jax.lax.broadcasted_iota(jnp.int32, (k, n), 1),
+         *payload), dimension=1, num_keys=1)
+    order, cnt, packed = sorted_out[1], sorted_out[2], sorted_out[3]
     offsets = jnp.cumsum(cnt, axis=1) - cnt
     total_c = offsets[:, -1] + cnt[:, -1]                     # (k,)
 
@@ -466,14 +504,8 @@ def bin_splats_records_multi(
         .at[flat_tgt].add(d_packed.reshape(-1), mode="drop")
     if corner_cull:
         # one packed quantized mean+radius channel — see bin_splats_records
-        mqx = jnp.clip(jnp.round(splats.means2d[..., 0]),
-                       -2047, 2047).astype(jnp.int32) + 2048
-        mqy = jnp.clip(jnp.round(splats.means2d[..., 1]),
-                       -2047, 2047).astype(jnp.int32) + 2048
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
-            .astype(jnp.int32)
-        mpk_u = mqx | (mqy << 12) | (rq_u << 24)              # (k, N)
-        mpk = jnp.take_along_axis(mpk_u, order, axis=1)
+        # (rode the per-camera depth sort as a payload above)
+        mpk = sorted_out[4]
         d_mpk = mpk - jnp.concatenate(
             [jnp.zeros((k, 1), jnp.int32), mpk[:, :-1]], axis=1)
         geo2 = jnp.zeros(k * mc, jnp.int32) \

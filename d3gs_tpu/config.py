@@ -101,6 +101,14 @@ class PipelineParams:
                                 # sharded, cameras replicated, per-camera
                                 # splat all-gather software-pipelined
                                 # against the blend (parallel/COMMS.md)
+    depth_grad: bool = False        # propagate gradients through the depth
+                                # output inside train steps. Every stock
+                                # loss is photometric, so the depth
+                                # cotangent is structurally zero and the
+                                # blend backward skips its math; set True
+                                # if an extra_loss_fn consumes out.depth
+                                # (otherwise it would silently see zero
+                                # depth gradients)
     train_matmul_precision: str = "bfloat16"
                                 # matmul passes inside TRAIN steps. The two
                                 # cancellation-amplifying contractions (the

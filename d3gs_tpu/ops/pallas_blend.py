@@ -78,7 +78,7 @@ def _mono8():
         [one, lx, ly, lx * lx, lx * ly, ly * ly, zr, zr], axis=1)
 
 
-def _block_alpha(blk, oxv, oyv, mono8, live):
+def _block_alpha(blk, oxv, oyv, live):
     """Alpha for one record block against the tile pixel grid.
 
     Direct per-pixel quadratic (dx/dy products on the VPU). An MXU
@@ -89,11 +89,9 @@ def _block_alpha(blk, oxv, oyv, mono8, live):
     slots are better spent on the transmittance scans.
 
     `oxv`/`oyv`/`live` broadcast against (1, KB) rows, so the tile-paired
-    kernels pass per-lane-half (1, 2·KB) rows unchanged; `mono8` is
-    accepted for signature parity with that experiment (unused).
+    kernels pass per-lane-half (1, 2·KB) rows unchanged.
 
     Returns alpha (P, KB) and the `clamped` zero-gradient mask."""
-    del mono8
     lx, ly = _pixel_grid()
     ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
     opa = blk[8:9]
@@ -173,7 +171,6 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
 
     ox = ox_ref[t].astype(jnp.float32)
     oy = oy_ref[t].astype(jnp.float32)
-    mono8 = _mono8()
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
     tri = _tri_inc(KB)
     log_eps = jnp.float32(np.log(_T_EPS))
@@ -202,7 +199,7 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         blk = buf[slot]                                # (16, KB)
         kg = (b0 + b) * KB + kcol
         live = (kg >= s0) & (kg < s1)                  # (1, KB)
-        alpha, _ = _block_alpha(blk, ox, oy, mono8, live)
+        alpha, _ = _block_alpha(blk, ox, oy, live)
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
         acc = _mxu_cumsum(lo, tri)                     # inclusive Σ log(1-α)
@@ -322,7 +319,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     def grad_block(b, lcarry, sfx, blk):
         kg = (b0 + b) * KB + kcol
         live = (kg >= s0) & (kg < s1)
-        alpha, clamped = _block_alpha(blk, ox, oy, mono8, live)
+        alpha, clamped = _block_alpha(blk, ox, oy, live)
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)                         # (P, KB), <= 0
         acc = _mxu_cumsum(lo, tri)                     # inclusive prefix
@@ -470,7 +467,6 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
     nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
     nb = jnp.maximum(nbA, nbB)
 
-    mono8 = _mono8()
     kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
     kmod = kcol2 & (KB - 1)
     lanehalf = kcol2 >= KB
@@ -522,7 +518,7 @@ def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
         live = (kg >= s0v) & (kg < s1v)                    # (1, 2KB)
         # (a half with b >= nb_h has kg >= s1_h, so live masks it out; the
         # stale buffer contents never reach alpha)
-        alpha, _ = _block_alpha(blk, oxv, oyv, mono8, live)
+        alpha, _ = _block_alpha(blk, oxv, oyv, live)
 
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)
@@ -669,7 +665,7 @@ def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         # truncate an i8 select result to an i1 vector
         proc = b < _sel_half(lanehalf, beffA, beffB)
         live = (kg >= s0v) & (kg < s1v) & proc
-        alpha, clamped = _block_alpha(blk, oxv, oyv, mono8, live)
+        alpha, clamped = _block_alpha(blk, oxv, oyv, live)
 
         om = 1.0 - alpha
         lo = jnp.log1p(-alpha)

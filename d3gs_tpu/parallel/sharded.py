@@ -318,7 +318,8 @@ def make_flagship_gauss_tile_step(
                     rec, rbins, bg, tiles_x=tiles_x,
                     tiles_y=tiles_y_local, width=width, height=strip_h,
                     interpret=jax.default_backend() != "tpu", tile_y0=ty0,
-                    pair=pipe_cfg.pair_tiles, depth_grad=False)
+                    pair=pipe_cfg.pair_tiles,
+                    depth_grad=getattr(pipe_cfg, "depth_grad", False))
             else:
                 rbins = bin_splats_records(
                     splats, tiles_x=tiles_x, tiles_y=tiles_y_local,
@@ -505,7 +506,8 @@ def make_flagship_camera_parallel_step(
             binning=pipe_cfg.binning,
             dup_capacity=pipe_cfg.dup_capacity,
             pair_tiles=pipe_cfg.pair_tiles,
-            antialias=pipe_cfg.antialias, depth_grad=False)
+            antialias=pipe_cfg.antialias,
+            depth_grad=getattr(pipe_cfg, "depth_grad", False))
         ll1 = l1_loss(out.image, cam.image)
         loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
             1 - ssim(out.image, cam.image))

@@ -88,7 +88,8 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
             is_6dof=model_cfg.is_6dof,
             direct_compute=direct and use_deform,
             bg=bg, means2d_tap=tap, dup_capacity=pipe_cfg.dup_capacity,
-            pair_tiles=pipe_cfg.pair_tiles, depth_grad=False)
+            pair_tiles=pipe_cfg.pair_tiles,
+            depth_grad=getattr(pipe_cfg, "depth_grad", False))
         ll1s = jnp.mean(jnp.abs(out.image - cams.image), axis=(1, 2, 3))
         ssims = jax.vmap(ssim)(out.image, cams.image)
         losses = (1 - lambda_dssim) * ll1s + lambda_dssim * (1 - ssims)
@@ -104,7 +105,8 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
             bin_chunk=pipe_cfg.bin_chunk,
             binning=pipe_cfg.binning,
             dup_capacity=pipe_cfg.dup_capacity,
-            antialias=pipe_cfg.antialias, depth_grad=False)
+            antialias=pipe_cfg.antialias,
+            depth_grad=getattr(pipe_cfg, "depth_grad", False))
         ll1 = l1_loss(out.image, cam.image)
         loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
             1 - ssim(out.image, cam.image))

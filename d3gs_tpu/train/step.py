@@ -89,10 +89,11 @@ def make_train_step(
             corner_cull=getattr(pipe_cfg, "corner_cull", False),
             pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias,
-            # every trainer's loss is photometric (+ deform-output
-            # regularizers): the depth cotangent is structurally zero, so
-            # the blend backward skips its math entirely
-            depth_grad=False)
+            # every stock loss is photometric (+ deform-output
+            # regularizers): the depth cotangent is structurally zero and
+            # the blend backward skips its math. An extra_loss_fn that
+            # consumes out.depth must set pipe_cfg.depth_grad=True
+            depth_grad=getattr(pipe_cfg, "depth_grad", False))
         ll1 = l1_loss(out.image, camera.image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (
             1.0 - ssim(out.image, camera.image))

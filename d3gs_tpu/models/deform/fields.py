@@ -239,12 +239,22 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
             return dx, dr, ds
         if spec.kind in ("ode", "simple"):
             f = _ode_f(params)
+            if spec.solver == "adaptive" and ts.ndim == 2:
+                # per-sample solves vmap the dynamics at batch 1; the fused
+                # trunk's shared-t weight fold can't batch — plain apply
+                f = lambda tt, yy: net.apply(params, tt, yy)
+            f_args = None
         else:
             anchor = xyz if y0 is None else y0
-            f = lambda tt, yy: net.apply(params, tt, yy, anchor)
-        if spec.solver == "adaptive" and ts.ndim == 1:
+            f = lambda tt, yy, anc=None: net.apply(
+                params, tt, yy, anchor if anc is None else anc)
+            # per-sample grids vmap the solver over samples: the y0-anchor
+            # must be mapped alongside (torchode's with_args conditioning,
+            # reference deform_model.py:67-72)
+            f_args = (anchor,) if ts.ndim == 2 else None
+        if spec.solver == "adaptive":
             ys = odeint_adaptive(f, xyz, ts, rtol=spec.rtol,
-                                 atol=spec.atol)               # (T, N, 3)
+                                 atol=spec.atol, args=f_args)  # (T, N, 3)
         else:
             ys = odeint_grid(f, xyz, ts, n_substeps=spec.n_substeps)
         T = ys.shape[0]

@@ -91,31 +91,62 @@ def odeint_from_zero(f: Callable, y0: jax.Array, t: jax.Array, *,
 
 
 def odeint_adaptive(f: Callable, y0: jax.Array, ts: jax.Array,
-                    rtol: float = 1e-3, atol: float = 1e-4) -> jax.Array:
+                    rtol: float = 1e-3, atol: float = 1e-4,
+                    args=None) -> jax.Array:
     """Adaptive Dopri5 with adjoint gradients (jax.experimental.ode),
     tolerance-compatible with the reference torchdiffeq path
     (scene/deform_model.py:196-198) and the torchode controller
-    (deform_model.py:61-78). Shared (T,) grid only ((N, T) per-sample
-    grids require the fixed-step path).
+    (deform_model.py:61-78).
 
-    The eval grid is made strictly increasing before integration (jax's
-    odeint requires it; camera windows can repeat fids) by bumping
-    duplicates an epsilon above their predecessor, then results are
-    returned for the ORIGINAL times — exact for duplicates up to one
-    epsilon step of drift.
+    Grids: `ts` may be a shared (T,) grid or per-sample (N, T) grids —
+    the torchode parallel-IVP semantics (deform_model.py:55-78), realized
+    TPU-first by vmapping the adaptive solver over samples: every sample
+    advances with its OWN Dopri5 step-size controller, while XLA batches
+    the lockstep dynamics evaluations into single (N, ·) MLP calls (vmap
+    of a while_loop runs all lanes until the last controller converges —
+    exactly torchode's batched stepping).
+
+    Duplicate eval times (camera windows repeat fids) are handled
+    dedupe-and-scatter: the solver integrates a strictly-increasing
+    repaired grid, and every duplicate's output is COPIED from its first
+    occurrence — duplicates are exactly equal, and the first occurrence
+    integrates at the true (un-bumped) time. `ts` must be non-decreasing
+    (along its last axis), as required by the underlying solver.
+
+    `args`: optional pytree of per-sample conditioning arrays with a
+    leading N axis (e.g. the y0-anchor of the `simple_start` net,
+    reference deform_model.py:67-72); mapped alongside y0 for per-sample
+    grids and passed through as f(t, y, *args).
     """
     from jax.experimental.ode import odeint as jodeint
 
-    if ts.ndim != 1:
-        raise ValueError(
-            "adaptive ODE integration supports a shared (T,) grid only; "
-            "use the fixed-step RK4 path for per-sample (N, T) grids")
+    extra = tuple(args) if args is not None else ()
 
-    def f_flip(y, t):
-        return f(t, y)
+    if ts.ndim == 1:
+        def f_flip(y, t):
+            return f(t, y, *extra)
 
-    ts_mono = _strict_increase(ts, 1e-6)
-    return jodeint(f_flip, y0, ts_mono, rtol=rtol, atol=atol)
+        ts_mono = _strict_increase(ts, 1e-6)
+        ys = jodeint(f_flip, y0, ts_mono, rtol=rtol, atol=atol)
+        src = jnp.searchsorted(ts, ts, side="left")   # first occurrence
+        return ys[src]
+
+    if ts.ndim != 2 or ts.shape[0] != y0.shape[0]:
+        raise ValueError("ts must be (T,) shared or (N, T) per-sample "
+                         "with N matching y0")
+
+    def one(y0_i, ts_i, *extra_i):
+        def f_one(y_row, t):
+            ext = tuple(e[None] for e in extra_i)
+            return f(jnp.reshape(t, (1, 1)), y_row[None, :], *ext)[0]
+
+        ts_m = _strict_increase(ts_i, 1e-6)
+        ys_i = jodeint(f_one, y0_i, ts_m, rtol=rtol, atol=atol)  # (T, D)
+        src = jnp.searchsorted(ts_i, ts_i, side="left")
+        return ys_i[src]
+
+    ys = jax.vmap(one)(y0, ts, *extra)                # (N, T, D)
+    return jnp.swapaxes(ys, 0, 1)                     # (T, N, D)
 
 
 def _strict_increase(ts: jax.Array, eps: float) -> jax.Array:

@@ -1013,6 +1013,9 @@ def _core_bwd(num_tiles, interpret, pair, depth_grad, res, g):
     # Boundary difference on the INCLUSIVE prefix: index b-1 with b==0
     # masked to zero — prepending a zero row (jnp.concatenate) would copy
     # the whole 22 MB prefix array (~0.36 ms) just to shift indices by 1.
+    # (A two-index (mb, KB, 16) fetch was A/B'd for these two gathers and
+    # measured SLOWER in context: 0.80 vs 0.58 ms — the 3-D gather pays
+    # more per row than the flat row gather despite the column-major cs.)
     bounds = jnp.concatenate(
         [rank_bounds, jnp.full((1,), mpad, jnp.int32)])       # (n1+1,)
 

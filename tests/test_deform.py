@@ -161,8 +161,10 @@ def test_adaptive_matches_fixed_on_analytic_trajectory():
 
 
 def test_adaptive_handles_duplicate_fids_and_t0():
-    """Camera windows can repeat fids; the monotone repair keeps jax's
-    odeint happy and t=0 single-time integration returns y0 exactly."""
+    """Camera windows can repeat fids; duplicates are dedupe-and-scatter
+    (EXACTLY equal — the value is copied from the first occurrence, which
+    integrates at the true time), and t=0 single-time integration returns
+    y0 exactly."""
     spec = DeformFieldSpec(kind="simple", solver="adaptive",
                            rtol=1e-5, atol=1e-7)
     state, field = create_deform_field(spec, jax.random.PRNGKey(4))
@@ -171,10 +173,76 @@ def test_adaptive_handles_duplicate_fids_and_t0():
     ts = jnp.asarray([0.0, 0.25, 0.25, 0.5])     # duplicate interior fid
     ys, _, _ = field.step_multi(state.params, xyz, ts)
     assert ys.shape == (4, 8, 3)
-    np.testing.assert_allclose(np.asarray(ys[1]), np.asarray(ys[2]),
-                               atol=1e-4)
+    assert np.array_equal(np.asarray(ys[1]), np.asarray(ys[2]))
     y, _, _ = field.step(state.params, xyz, jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(y), np.asarray(xyz), atol=1e-6)
+
+
+def test_adaptive_per_sample_grids_match_fixed():
+    """(N, T) per-sample grids through the adaptive solver (torchode
+    parallel-IVP semantics, reference deform_model.py:55-78): each sample
+    integrates its own window with its own step-size controller."""
+    def f(t, y):  # dy/dt = t, per-sample t arrives as a column
+        return jnp.broadcast_to(jnp.reshape(t, (-1, 1)), y.shape)
+
+    y0 = jnp.zeros((3, 1))
+    ts = jnp.stack([jnp.linspace(0.0, 1.0, 5),
+                    jnp.linspace(0.5, 1.5, 5),
+                    jnp.linspace(2.0, 4.0, 5)])          # (N=3, T=5)
+    ys = odeint_adaptive(f, y0, ts, rtol=1e-7, atol=1e-9)  # (T, N, 1)
+    want = (ts[:, -1] ** 2 - ts[:, 0] ** 2) / 2
+    np.testing.assert_allclose(np.asarray(ys[-1][:, 0]), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # against the fixed-step integrator on the same grids
+    ys_fix = odeint_grid(f, y0, ts, n_substeps=8)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_fix),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_per_sample_duplicates_exact_and_differentiable():
+    """Per-sample grids with repeated fids: duplicates exactly equal, and
+    gradients flow through the vmapped adjoint."""
+    spec = DeformFieldSpec(kind="simple", solver="adaptive",
+                           rtol=1e-4, atol=1e-6)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(6))
+    xyz = jnp.asarray(np.random.default_rng(6).normal(size=(4, 3)),
+                      jnp.float32)
+    ts = jnp.stack([jnp.asarray([0.0, 0.2, 0.2, 0.5])] * 2
+                   + [jnp.asarray([0.1, 0.3, 0.6, 0.6])] * 2)   # (4, 4)
+    ys, _, _ = field.step_multi(state.params, xyz, ts)
+    assert ys.shape == (4, 4, 3)
+    assert np.array_equal(np.asarray(ys[1][:2]), np.asarray(ys[2][:2]))
+    assert np.array_equal(np.asarray(ys[2][2:]), np.asarray(ys[3][2:]))
+
+    def loss(params):
+        out, _, _ = field.step_multi(params, xyz, ts)
+        return jnp.sum(out[-1] ** 2)
+
+    g = jax.grad(loss)(state.params)
+    gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0.0
+
+
+def test_adaptive_per_sample_y0_conditioned():
+    """simple_start (y0-anchored dynamics, torchode with_args semantics,
+    deform_model.py:67-72) under per-sample adaptive grids: the anchor is
+    vmapped alongside the state."""
+    spec = DeformFieldSpec(kind="simple_start", solver="adaptive",
+                           rtol=1e-4, atol=1e-6)
+    state, field = create_deform_field(spec, jax.random.PRNGKey(7))
+    xyz = jnp.asarray(np.random.default_rng(7).normal(size=(3, 3)),
+                      jnp.float32)
+    ts = jnp.stack([jnp.linspace(0.0, 0.5, 4),
+                    jnp.linspace(0.2, 0.8, 4),
+                    jnp.linspace(0.0, 1.0, 4)])
+    ys, _, _ = field.step_multi(state.params, xyz, ts)
+    assert ys.shape == (4, 3, 3)
+    # matches the fixed-step path on the same per-sample grids
+    spec_fix = dataclasses.replace(spec, solver="rk4", n_substeps=16)
+    _, field_fix = create_deform_field(spec_fix, jax.random.PRNGKey(7))
+    ys_fix, _, _ = field_fix.step_multi(state.params, xyz, ts)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_fix),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_adaptive_is_differentiable():

@@ -33,6 +33,7 @@ from ..ops.projection import TILE, project_gaussians
 from ..ops.rasterize import (blend, blend_records, pack_records,
                              pack_records_full, unpack_records_full)
 from ..ops.sh import eval_sh_upto
+from ..ops.transforms import apply_se3
 from .mesh import AXIS
 
 
@@ -252,10 +253,6 @@ def make_flagship_gauss_tile_step(
     the same signature/semantics as the camera-parallel step (reference
     loss semantics train.py:224-251).
     """
-    if model_cfg.is_6dof:
-        raise NotImplementedError(
-            "gauss_tile mesh mode does not support is_6dof; use the "
-            "camera-parallel layout (--mesh_mode camera)")
     n_dev = mesh.shape[axis]
     tiles_x = _cdiv(width, TILE)
     tiles_y_total = _cdiv(height, TILE)
@@ -399,6 +396,15 @@ def make_flagship_gauss_tile_step(
                                              jnp.sort(cams.fid), y0=sxyz)
             if direct and isinstance(dxs, jax.Array) and dxs.ndim >= 3:
                 means3d_k = dxs
+            elif model_cfg.is_6dof and isinstance(dxs, jax.Array) \
+                    and dxs.ndim == 4:
+                # 6DoF: dxs is a per-camera batch of per-Gaussian SE(3)
+                # mats (T, N, 4, 4); compose on the (sharded) Gaussian rows
+                # BEFORE projection (reference
+                # gaussian_renderer/__init__.py:71-76). The screw-axis head
+                # is per-Gaussian, so GSPMD shards the composition on the
+                # capacity axis like every other per-Gaussian op.
+                means3d_k = jax.vmap(lambda m: apply_se3(m, xyz))(dxs)
             else:
                 means3d_k = xyz[None] + dxs
         else:

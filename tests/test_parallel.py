@@ -247,6 +247,66 @@ def test_gauss_tile_flagship_step_matches_single(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
+def test_gauss_tile_flagship_6dof_matches_single(mesh):
+    """is_6dof under the gauss_tile mesh: the per-Gaussian SE(3)
+    composition (reference gaussian_renderer/__init__.py:71-76) happens on
+    the sharded rows before projection — must equal the single-device
+    flagship step."""
+    from d3gs_tpu.data.cameras import stack_cameras
+    from d3gs_tpu.parallel.sharded import make_flagship_gauss_tile_step
+    from d3gs_tpu.train.flagship import make_batched_step
+
+    cap = 1024
+    gt = gt_state(n=150, cap=cap)
+    bg = jnp.zeros(3)
+    cams = []
+    for k in range(2):
+        cam = make_camera(angle=k * math.pi / 3, width=64, height=64)
+        out = render(gt, cam, bg=bg, tile_capacity=256, tile_chunk=8)
+        cams.append(dataclasses.replace(
+            cam, image=out.image, fid=jnp.asarray(k / 2.0, jnp.float32)))
+    batch = stack_cameras(cams)
+
+    rng = np.random.default_rng(9)
+    pts = np.asarray(gt.params.xyz[:150]) + \
+        rng.normal(scale=0.04, size=(150, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, size=(150, 3)).astype(np.float32)
+    st0 = G.create_from_pcd(pts, cols, sh_degree=1, capacity=cap,
+                            spatial_lr_scale=4.0)
+    spec = DeformFieldSpec(kind="baseline", is_blender=True, is_6dof=True,
+                           D=2, W=32)
+    dstate0, field = create_deform_field(spec, jax.random.PRNGKey(1))
+
+    model_cfg = ModelParams(is_blender=True, is_6dof=True)
+    opt_cfg = OptimizationParams(position_lr_max_steps=100,
+                                 num_cams_per_iter=2)
+    pipe_cfg = PipelineParams(tile_capacity=256, tile_chunk=8)
+    key = jax.random.PRNGKey(0)
+
+    single = make_batched_step(
+        opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, update_gaussians=True, update_deform=True,
+        use_deform=True)
+    s_st, s_dst, s_loss, s_ll1, _ = single(
+        st0, dstate0, batch, jnp.asarray(5.0), key, bg)
+
+    st_s = shard_gaussian_state(st0, mesh)
+    dst_r = replicate(dstate0, mesh)
+    gts = make_flagship_gauss_tile_step(
+        mesh, opt_cfg=opt_cfg, pipe_cfg=pipe_cfg, model_cfg=model_cfg,
+        field=field, width=64, height=64, use_deform=True)
+    p_st, p_dst, p_loss, p_ll1, _ = gts(
+        st_s, dst_r, batch, jnp.asarray(5.0), key, bg)
+
+    np.testing.assert_allclose(float(p_loss), float(s_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(p_ll1), float(s_ll1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_st.params.xyz),
+                               np.asarray(s_st.params.xyz), atol=2e-6)
+    for a, b in zip(jax.tree.leaves(p_dst.params),
+                    jax.tree.leaves(s_dst.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
 def test_gauss_tile_2d_mesh_matches_single(mesh):
     """Composed layout on a (2 cam × 4 shard) mesh: camera data parallelism
     across groups × gauss+tile model parallelism within each — must equal

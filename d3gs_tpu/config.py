@@ -68,26 +68,9 @@ class PipelineParams:
     binning: str = "auto"           # "auto" (pallas on TPU, packed off-TPU)
                                     # | "pallas" | "packed" | "sort" | "scan"
     dup_capacity: int = 0           # sort-path duplicate budget (0 = 16N)
-    corner_cull: bool = False       # quantized bbox-corner cull beyond the
-                                # exact alpha radius (output-exact; one
-                                # extra delta channel in the expand).
-                                # Opt-in: the expand overhead (~1.3 ms at
-                                # the bench config) only pays off when the
-                                # cull fraction is large — big/low-opacity
-                                # splats, post-reset phases
     tight_cull: bool = False        # exact ellipse-tile cull (opt-in: pays a
                                 # wider expand gather; the alpha-aware
                                 # radius in projection.py is always on)
-    pair_tiles: bool = False        # pallas blend: 2 tiles per grid step
-                                # (no gain at 625 tiles/400px; retained for
-                                # the fused multi-camera path)
-    fused_cameras: bool = False     # flagship k-camera step: one global
-                                # (cam, tile, depth) sort + one blend over
-                                # k*T tiles instead of a lax.map render
-                                # loop. Measured SLOWER on one chip (33 vs
-                                # 21 ms/cam at k=10: monolithic k*M sorts
-                                # and batched gathers scale superlinearly
-                                # in XLA), so the scan loop is the default
     capacity: int = 0               # padded gaussian buffer (0 = auto)
     antialias: bool = False         # filter-norm style opacity compensation
     mesh_shape: str = ""            # "8" = 1D mesh; "CxS" with

@@ -30,8 +30,7 @@ from flax import struct
 
 from ...ops.schedules import expon_lr
 from .networks import (DeformMLP, DeformNetworkODE, DeformNetworkSimple,
-                       DeformNetworkSimpleStart, deform_mlp_fused_apply,
-                       deform_ode_fused_apply)
+                       DeformNetworkSimpleStart)
 from .ode import (odeint_adaptive, odeint_adaptive_from_zero,
                   odeint_from_zero, odeint_grid)
 
@@ -61,28 +60,11 @@ class DeformFieldSpec:
                                      # bf16 halves MLP time but measured
                                      # ~0.9 dB PSNR cost at 2k iters on the
                                      # synthetic scene — opt-in only
-    fused: Optional[bool] = None     # route the canonical 8x256 trunk
-                                     # through the fused Pallas kernel
-                                     # (ops/fused_mlp.py): VMEM-resident
-                                     # activations, no HBM residuals.
-                                     # Standalone it is ~1.6x faster
-                                     # (2.19 -> 1.39 ms fwd+bwd at N=44k),
-                                     # but in the SINGLE-EVAL baseline step
-                                     # it measures ~1.3 ms SLOWER: XLA
-                                     # horizontally fuses ~2 ms of N-scale
-                                     # elementwise work (SH eval, Adam,
-                                     # activations) into the flax MLP's
-                                     # matmul programs, and removing the
-                                     # MLP exposes those as standalone HBM
-                                     # passes. In the ODE integrators it
-                                     # ALSO measures slower (264 vs 237 ms
-                                     # per 4-fid window at N=44k): the
-                                     # checkpointed-scan backward already
-                                     # rematerializes activations,
-                                     # neutralizing the no-residual win,
-                                     # while per-eval weight repacking and
-                                     # lost fusion add cost. None = off
-                                     # (strictly opt-in everywhere).
+    # (A fused Pallas MLP-trunk path existed behind a `fused` flag through
+    # round 4; it measured slower than the flax trunk in BOTH trainers —
+    # XLA horizontally fuses neighboring N-scale elementwise work into the
+    # flax matmul programs, which the monolithic kernel forfeits — and was
+    # removed in round 5.)
 
 
 @struct.dataclass
@@ -173,23 +155,9 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         return expon_lr(iteration, lr_init=lr_init, lr_final=lr_final,
                         lr_delay_mult=delay_mult, max_steps=max_steps)
 
-    _canonical = (spec.D == 8 and spec.W == 256 and spec.multires == 10
-                  and spec.compute_dtype != "bfloat16")
-    use_fused = ((spec.fused is True)
-                 and spec.kind in ("baseline", "warp")
-                 and not spec.is_6dof and _canonical)
-    use_fused_ode = ((spec.fused is True)
-                     and spec.kind == "ode" and spec.use_linear == 0
-                     and spec.use_emb and tuple(spec.skips) == (4,)
-                     and _canonical)
-
     def _ode_f(params):
-        """Dynamics f(t, y) for the integrators; scalar-t evals route
-        through the fused trunk (per-sample time-vector evals fall back —
-        the fused path's time-band bias fold needs one shared t)."""
+        """Dynamics f(t, y) for the integrators."""
         def f(tt, yy):
-            if use_fused_ode and jnp.size(tt) <= 1:
-                return deform_ode_fused_apply(net, params, tt, yy)
             return net.apply(params, tt, yy)
         return f
 
@@ -198,9 +166,6 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         """Single-time deformation at (scalar) fid t."""
         n = xyz.shape[0]
         if spec.kind in ("baseline", "warp"):
-            if use_fused:
-                return deform_mlp_fused_apply(
-                    net, params, xyz, jnp.reshape(t, (-1,))[:1])
             t_col = jnp.broadcast_to(jnp.reshape(t, (-1, 1))[:1], (n, 1))
             return net.apply(params, xyz, t_col)
         if spec.kind == "ode" or spec.kind == "simple":
@@ -225,13 +190,6 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
         Returns (dxs (T, N, 3|4x4), drs, dss)."""
         n = xyz.shape[0]
         if spec.kind in ("baseline", "warp"):
-            if use_fused:
-                # lax.map (not vmap): batching a pallas_call would fold T
-                # into the grid but break the constant-index weight blocks
-                return jax.lax.map(
-                    lambda t: deform_mlp_fused_apply(
-                        net, params, xyz, jnp.reshape(t, (1,))), ts)
-
             def one(t):
                 t_col = jnp.full((n, 1), t)
                 return net.apply(params, xyz, t_col)
@@ -239,10 +197,6 @@ def create_deform_field(spec: DeformFieldSpec, key: jax.Array,
             return dx, dr, ds
         if spec.kind in ("ode", "simple"):
             f = _ode_f(params)
-            if spec.solver == "adaptive" and ts.ndim == 2:
-                # per-sample solves vmap the dynamics at batch 1; the fused
-                # trunk's shared-t weight fold can't batch — plain apply
-                f = lambda tt, yy: net.apply(params, tt, yy)
             f_args = None
         else:
             anchor = xyz if y0 is None else y0

@@ -223,106 +223,3 @@ class DeformNetworkSimpleStart(nn.Module):
                         kernel_init=nn.initializers.normal(stddev=0.2),
                         bias_init=nn.initializers.zeros)(h)
 
-
-# --------------------------------------------------------------------------
-# Fused-kernel apply paths (ops/fused_mlp.py)
-# --------------------------------------------------------------------------
-
-def _timenet_emb(kb, t, is_blender, t_multires):
-    """(1,1) scalar time -> (1, tw) embedding row; returns (t_emb, idx)
-    where idx is the first trunk layer's TorchLinear index."""
-    t0 = jnp.reshape(t, (-1,))[0:1][None]                  # (1, 1)
-    t_emb = positional_encoding(t0, t_multires)            # (1, 13|21)
-    if is_blender:
-        k0, b0 = kb(0)
-        k1, b1 = kb(1)
-        return jnp.maximum(t_emb @ k0 + b0, 0.0) @ k1 + b1, 2    # (1, 30)
-    return t_emb, 0
-
-
-def _fused_trunk_apply(kb, idx, x, multires, t_emb, head_ids):
-    """Shared 8x256+skip trunk through the fused Pallas kernel.
-
-    kb(i) -> (kernel, bias) of TorchLinear_i; trunk layers are
-    idx..idx+7 with the skip layer at idx+5; head_ids index the output
-    heads whose columns concatenate into the packed (<=16)-lane result.
-    Returns the packed (n, 16) output."""
-    from ...ops import fused_mlp as FM
-
-    x_emb = positional_encoding(x, multires)               # (n, 63)
-    xw = x_emb.shape[1]
-    tw = t_emb.shape[1]
-
-    kin, bin_ = kb(idx)                                    # (xw+tw, 256)
-    kskip, bskip = kb(idx + 5)                             # (xw+tw+W, 256)
-    b0e = bin_[None] + t_emb @ kin[xw:]                    # (1, 256)
-    bskipe = bskip[None] + t_emb @ kskip[xw:xw + tw]
-    w0x = jnp.pad(kin[:xw], ((0, FM.XB - xw), (0, 0)))
-    wskipx = jnp.pad(kskip[:xw], ((0, FM.XB - xw), (0, 0)))
-    wskiph = kskip[xw + tw:]
-    mids = [kb(idx + 1 + j) for j in range(4)] + \
-        [kb(idx + 6), kb(idx + 7)]
-    wmid = jnp.stack([k for k, _ in mids])                 # (6, 256, 256)
-    bmid = jnp.stack([b[None] for _, b in mids])           # (6, 1, 256)
-
-    hs = [kb(i) for i in head_ids]
-    whead = jnp.concatenate([k for k, _ in hs], axis=1)
-    bhead = jnp.concatenate([b for _, b in hs])[None]
-    ow = whead.shape[1]
-    whead = jnp.pad(whead, ((0, 0), (0, FM.OUTP - ow)))
-    bhead = jnp.pad(bhead, ((0, 0), (0, FM.OUTP - ow)))
-
-    n = x.shape[0]
-    npad = ((n + FM.BLK - 1) // FM.BLK) * FM.BLK
-    x64 = jnp.pad(x_emb, ((0, npad - n), (0, FM.XB - xw)))
-    return FM.fused_trunk(x64, w0x, wmid, wskipx, wskiph, whead, b0e,
-                          bmid, bskipe, bhead)[:n]
-
-
-def deform_mlp_fused_apply(net: DeformMLP, params, x: jax.Array,
-                           t: jax.Array):
-    """DeformMLP.apply rebuilt over the fused Pallas trunk.
-
-    Exactly the reference forward (time_utils.py:80-127) for the scalar-fid
-    case every trainer/render path uses: t must be a broadcast column (all
-    rows equal — only row 0 is read). The time embedding's weight bands
-    fold into effective biases (see ops/fused_mlp.py); their parameter and
-    timenet gradients are recovered by XLA autodiff of the fold. Not
-    applicable to is_6dof (screw-axis head shapes differ).
-    """
-    assert not net.is_6dof, "fused apply does not cover is_6dof"
-    p = params["params"]
-
-    def kb(i):
-        d = p[f"TorchLinear_{i}"]["Dense_0"]
-        return d["kernel"], d["bias"]
-
-    t_emb, idx = _timenet_emb(kb, t, net.is_blender,
-                              6 if net.is_blender else 10)
-    head_ids = ([idx + 8, idx + 9, idx + 10] if net.full_heads
-                else [idx + 8])
-    out = _fused_trunk_apply(kb, idx, x, net.multires, t_emb, head_ids)
-    d_xyz = out[:, 0:3]
-    if net.full_heads:
-        return d_xyz, out[:, 3:7], out[:, 7:10]
-    return d_xyz, 0.0, 0.0
-
-
-def deform_ode_fused_apply(net: DeformNetworkODE, params, t: jax.Array,
-                           x: jax.Array):
-    """DeformNetworkODE.apply (use_linear=0, use_emb) over the fused
-    Pallas trunk — the ODE dynamics f(t, x) evaluated 10s of times per
-    train step by the RK4/adaptive integrators (time_utils.py:398-438),
-    where the kernel's no-HBM-residual trunk pays off multiplicatively."""
-    assert net.use_linear == 0 and net.use_emb
-    assert tuple(net.skips) == (4,)
-    p = params["params"]
-
-    def kb(i):
-        d = p[f"TorchLinear_{i}"]["Dense_0"]
-        return d["kernel"], d["bias"]
-
-    t_emb, idx = _timenet_emb(kb, t, net.is_blender,
-                              6 if net.is_blender else 10)
-    out = _fused_trunk_apply(kb, idx, x, net.multires, t_emb, [idx + 8])
-    return out[:, 0:3] * net.output_scale

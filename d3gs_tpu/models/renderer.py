@@ -54,8 +54,6 @@ def render(
     binning: str = "auto",
     dup_capacity: int = 0,
     tight_cull: bool = False,
-    corner_cull: bool = False,
-    pair_tiles: bool = False,
     depth_grad: bool = True,
 ) -> RenderOutput:
     p = gaussians.params
@@ -113,12 +111,12 @@ def render(
         rbins = bin_splats_records(
             jax.lax.stop_gradient(splats),
             tiles_x=tiles_x, tiles_y=tiles_y, dup_capacity=dup_capacity,
-            tight_cull=tight_cull, corner_cull=corner_cull)
+            tight_cull=tight_cull)
         records = pack_records(splats)
         image, depth, alpha = blend_records_pallas(
             records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
             width=width, height=height,
-            interpret=jax.default_backend() != "tpu", pair=pair_tiles,
+            interpret=jax.default_backend() != "tpu",
             depth_grad=depth_grad)
         return RenderOutput(image=image, depth=depth, alpha=alpha,
                             radii=splats.radii, counts=rbins.counts)
@@ -148,81 +146,3 @@ def render(
         width=width, height=height, tile_chunk=tile_chunk)
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=splats.radii, counts=bins.counts)
-
-
-def render_multi(
-    gaussians: GaussianState,
-    cams: Camera,                    # stacked batch: array leaves lead (k,)
-    *,
-    d_xyz: jax.Array | float = 0.0,      # (k, N, 3) or scalar 0.0
-    d_rotation: jax.Array | float = 0.0,
-    d_scaling: jax.Array | float = 0.0,
-    is_6dof: bool = False,
-    direct_compute: bool = False,
-    bg: jax.Array | None = None,
-    means2d_tap: Optional[jax.Array] = None,   # (N, 2), shared: per-camera
-    #                                            tap grads sum automatically
-    dup_capacity: int = 0,
-    pair_tiles: bool = False,
-    depth_grad: bool = True,
-) -> RenderOutput:
-    """Fused k-camera render: per-camera preprocessing under vmap, then ONE
-    global (camera, tile, depth) sort and ONE pallas blend over k*T tiles
-    (ops/binning.py::bin_splats_records_multi). The TPU-native replacement
-    for the flagship trainer's per-camera render loop (reference
-    train.py:224-251): every M-proportional op runs once at k*M scale
-    instead of k dispatch rounds."""
-    from ..ops.binning import bin_splats_records_multi
-    from ..ops.pallas_blend import blend_records_pallas_multi
-
-    p = gaussians.params
-    if bg is None:
-        bg = jnp.zeros(3)
-    width, height = cams.width, cams.height
-    tiles_x = (width + TILE - 1) // TILE
-    tiles_y = (height + TILE - 1) // TILE
-    tanx, tany = cams.tanfovx, cams.tanfovy
-
-    def prep(viewmatrix, projmatrix, campos, dx, dr, ds):
-        # composition identical to render() above
-        if direct_compute:
-            means3d = dx if isinstance(dx, jax.Array) and dx.ndim >= 2 \
-                else p.xyz
-        elif is_6dof and isinstance(dx, jax.Array) and dx.ndim == 3:
-            means3d = apply_se3(dx, p.xyz)
-        else:
-            means3d = p.xyz + dx
-        scales = gaussians.get_scaling + ds
-        rotations = gaussians.get_rotation + dr
-        opacity = gaussians.get_opacity[:, 0]
-        dirs = means3d - campos[None, :]
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-        colors = eval_sh_upto(gaussians.max_sh_degree,
-                              gaussians.active_sh_degree,
-                              gaussians.get_features, dirs)
-        colors = jnp.maximum(colors + 0.5, 0.0)
-        splats = project_gaussians(
-            means3d, None, opacity, colors, viewmatrix, projmatrix,
-            tanx, tany, width, height, alive=gaussians.alive,
-            scales=scales, rotations=rotations)
-        if means2d_tap is not None:
-            splats = splats._replace(means2d=splats.means2d + means2d_tap)
-        return splats, pack_records(splats)
-
-    ax = lambda v: 0 if isinstance(v, jax.Array) and v.ndim >= 1 else None
-    splats_k, records = jax.vmap(
-        prep, in_axes=(0, 0, 0, ax(d_xyz), ax(d_rotation), ax(d_scaling)))(
-        cams.viewmatrix, cams.projmatrix, cams.campos,
-        d_xyz, d_rotation, d_scaling)
-
-    rbins = bin_splats_records_multi(
-        jax.lax.stop_gradient(splats_k), tiles_x=tiles_x, tiles_y=tiles_y,
-        dup_capacity_per_cam=dup_capacity)
-    image, depth, alpha = blend_records_pallas_multi(
-        records, rbins, bg, tiles_x=tiles_x, tiles_y=tiles_y,
-        width=width, height=height,
-        interpret=jax.default_backend() != "tpu", pair=pair_tiles,
-        depth_grad=depth_grad)
-    return RenderOutput(image=image, depth=depth, alpha=alpha,
-                        radii=splats_k.radii, counts=rbins.counts)

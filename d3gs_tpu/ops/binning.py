@@ -251,19 +251,17 @@ def bin_splats_records(
     dup_capacity: int = 0,
     tile_y0: jax.Array | int = 0,
     tight_cull: bool = False,
-    corner_cull: bool = False,
 ) -> RecordBins:
     """Sort-based binning for the packed-record blend (rasterize.py
     blend_records): ragged expansion + one (tile, rank) key sort; the output
     is the sorted duplicate list itself (depth ranks + per-tile segment
     starts) — no (T, K) index lists, no capacity cap.
 
-    `corner_cull` drops duplicates whose tile rect lies entirely beyond the
-    splat's EXACT alpha radius (projection.cull_radius): every pixel there
-    fails the 1/255 alpha-min test and consumes no transmittance, so the
-    drop is output-exact. Mean and radius ride two extra delta-encoded s32
-    channels through the same segment-start scatters (0.5 px quantization,
-    slack-inflated conservatively) — no M-scale gather, unlike tight_cull.
+    (A quantized bbox-corner cull — dropping duplicates whose tile rect
+    lies beyond the splat's exact alpha radius, output-exact — was built
+    and A/B'd in rounds 3-5: it removes only ~7% of duplicates at the
+    bench scene while its extra delta channel + M-scale validity cumsum
+    cost ~0.3 ms; net slower in every measured configuration, removed.)
 
     TPU re-design notes (vs the CUDA (tile,depth) radix sort, SURVEY §2.3):
     the ragged expand materializes NO per-duplicate gather and NO wide
@@ -303,20 +301,12 @@ def bin_splats_records(
     bw1 = jnp.maximum(bw_u, 1)
     packed_u = (splats.tile_min[:, 0] | (ty_lo_u << 7) | (bw1 << 14)) \
         .astype(jnp.int32)
-    # cnt/packed (+ the corner-cull channel) ride the depth argsort as sort
-    # PAYLOADS: a separate `cnt_u[order]` gather costs ~7 ns/element on TPU
-    # (0.3 ms each at N=44k) while an extra sort operand at N-scale is ~free
-    payload = [cnt_u, packed_u]
-    if corner_cull:
-        mqx = jnp.clip(jnp.round(splats.means2d[:, 0]), -2047, 2047) \
-            .astype(jnp.int32) + 2048
-        mqy = jnp.clip(jnp.round(splats.means2d[:, 1]), -2047, 2047) \
-            .astype(jnp.int32) + 2048
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
-            .astype(jnp.int32)
-        payload.append(mqx | (mqy << 12) | (rq_u << 24))
+    # cnt/packed ride the depth argsort as sort PAYLOADS: a separate
+    # `cnt_u[order]` gather costs ~7 ns/element on TPU (0.3 ms each at
+    # N=44k) while an extra sort operand at N-scale is ~free
     out = jax.lax.sort(
-        (depth_key, jnp.arange(n, dtype=jnp.int32), *payload), num_keys=1)
+        (depth_key, jnp.arange(n, dtype=jnp.int32), cnt_u, packed_u),
+        num_keys=1)
     order, cnt, packed = out[1], out[2], out[3]
     offsets = jnp.cumsum(cnt) - cnt
     total = offsets[-1] + cnt[-1]
@@ -329,17 +319,6 @@ def bin_splats_records(
         .at[mark_tgt].add(1, mode="drop")
     geo = jnp.zeros((m_cap,), jnp.int32) \
         .at[mark_tgt].add(d_packed, mode="drop")
-    if corner_cull:
-        # ONE extra delta channel: quantized mean (1 px, 12+12 bits,
-        # clipped INWARD — shrinks computed distance → conservative keep)
-        # + radius (1 px, ceil'd UP, 7 bits; 127 = never-cull sentinel for
-        # splats larger than 126 px) packed as mqx | mqy<<12 | rq<<24 —
-        # 31 bits inside one s32 cumsum chain. (mpk rode the depth sort.)
-        mpk = out[4]
-        d_mpk = mpk - jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), mpk[:-1]])
-        geo2 = jnp.zeros((m_cap,), jnp.int32) \
-            .at[mark_tgt].add(d_mpk, mode="drop")
 
     m = jnp.arange(m_cap, dtype=jnp.int32)
     src_p1 = _cumsum_2d(marks)                             # src + 1
@@ -365,20 +344,6 @@ def bin_splats_records(
     local_tile = (ty - y0) * tiles_x + tx
     valid = (m < total) & (src_p1 > 0)
 
-    if corner_cull:
-        mpk_m = _cumsum_2d(geo2)                       # mpk[src]
-        mx = ((mpk_m & 4095) - 2048).astype(jnp.float32)
-        my = (((mpk_m >> 12) & 4095) - 2048).astype(jnp.float32)
-        rq_m = (mpk_m >> 24) & 127
-        x0 = (tx * TILE).astype(jnp.float32)
-        y0f = (ty * TILE).astype(jnp.float32)
-        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
-        dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
-        # slack 0.9: 0.71 for the two 0.5 px mean quantizations + margin
-        # for f32 rounding between this bound and the kernel's power eval
-        rub = rq_m.astype(jnp.float32) + 0.9
-        keep = (dx * dx + dy * dy <= rub * rub) | (rq_m >= 127)
-        valid = valid & keep
 
     if tight_cull:
         # real f32 fields can't be delta-encoded exactly; tight_cull stays
@@ -409,7 +374,7 @@ def bin_splats_records(
     # just position < min(total, m_cap), so each rank survives
     # clip(off+cnt) - clip(off) — O(N), no M-scale pass at all. The culls
     # drop data-dependently and need the M-scale valid cumsum.
-    if tight_cull or corner_cull:
+    if tight_cull:
         vcs = _cumsum_2d(valid.astype(jnp.int32))
         vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
         lo = jnp.clip(offsets, 0, m_cap)
@@ -422,185 +387,6 @@ def bin_splats_records(
     rank_bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), cs_surv]).astype(jnp.int32)  # (N+1,)
     return RecordBins(rank_sorted=rank_sorted, starts=starts, counts=counts,
-                      order=order, rank_bounds=rank_bounds)
-
-
-def bin_splats_records_multi(
-    splats: ProjectedSplats,     # every field with a leading (k,) camera axis
-    *,
-    tiles_x: int,
-    tiles_y: int,
-    dup_capacity_per_cam: int = 0,
-    corner_cull: bool = False,
-) -> RecordBins:
-    """Fused k-camera binning: ONE (camera, tile, depth)-keyed sort over all
-    cameras' duplicate streams. The flagship trainer renders k cameras per
-    iteration (reference train.py:224-251); running the renderer under
-    lax.map pays every fixed cost (sorts, scans, kernel ramp-up) k times.
-    Here the global tile id cam*T + local_tile goes into the sort key, so
-    the pallas blend sees one grid of k*T tiles and every M-proportional op
-    runs once at k*M scale.
-
-    Output conventions (consumed by blend_records_pallas_multi):
-      rank_sorted  holds GLOBAL record rows cam*(N+1) + depth_rank,
-      starts/counts cover k*T global tiles,
-      rank_bounds has k*(N+1)+1 entries (camera-major rank segments),
-      order is (k, N) per-camera depth order.
-    """
-    k, n = splats.depths.shape
-    num_tiles = tiles_x * tiles_y
-    if dup_capacity_per_cam <= 0:
-        dup_capacity_per_cam = 16 * n
-    mc = ((dup_capacity_per_cam + 511) // 512) * 512
-    shift = max(int(n).bit_length(), 1)
-    assert (k * num_tiles + 1) << shift < 2 ** 31, \
-        "cam/tile/rank key exceeds int32; reduce cameras, tiles or capacity"
-    assert mc < 2 ** 24, \
-        "dup_capacity_per_cam >= 2^24 breaks the f32 j//bw path"
-    assert tiles_x < 128 and tiles_y < 128, \
-        "packed-geometry binning supports < 128 tiles per axis"
-
-    bw_u = (splats.tile_max[..., 0] - splats.tile_min[..., 0]) \
-        .astype(jnp.int32)
-    bh_u = jnp.maximum(splats.tile_max[..., 1] - splats.tile_min[..., 1],
-                       0).astype(jnp.int32)
-    cnt_u = jnp.where(splats.visible, bw_u * bh_u, 0)         # (k, N)
-    depth_key = jnp.where(cnt_u > 0, splats.depths, jnp.inf)
-
-    # same two-scatter delta expand as bin_splats_records, flattened to one
-    # (k*mc,) stream. Per-camera value recovery subtracts each camera's
-    # carry-in (the flat running sum at the previous camera's end): within a
-    # camera the delta chain starts from zero (first column fprev = 0), so
-    # the residual is exactly the previous cameras' total.
-    bw1 = jnp.maximum(bw_u, 1)
-    packed_u = (splats.tile_min[..., 0] | (splats.tile_min[..., 1] << 7)
-                | (bw1 << 14)).astype(jnp.int32)
-    # cnt/packed (+ corner-cull channel) ride the per-camera depth argsort
-    # as payloads — take_along_axis gathers cost ~7 ns/element on TPU
-    payload = [cnt_u, packed_u]
-    if corner_cull:
-        mqx = jnp.clip(jnp.round(splats.means2d[..., 0]),
-                       -2047, 2047).astype(jnp.int32) + 2048
-        mqy = jnp.clip(jnp.round(splats.means2d[..., 1]),
-                       -2047, 2047).astype(jnp.int32) + 2048
-        rq_u = jnp.clip(jnp.ceil(splats.cull_radius), 0, 127) \
-            .astype(jnp.int32)
-        payload.append(mqx | (mqy << 12) | (rq_u << 24))
-    sorted_out = jax.lax.sort(
-        (depth_key, jax.lax.broadcasted_iota(jnp.int32, (k, n), 1),
-         *payload), dimension=1, num_keys=1)
-    order, cnt, packed = sorted_out[1], sorted_out[2], sorted_out[3]
-    offsets = jnp.cumsum(cnt, axis=1) - cnt
-    total_c = offsets[:, -1] + cnt[:, -1]                     # (k,)
-
-    packed_prev = jnp.concatenate(
-        [jnp.zeros((k, 1), jnp.int32), packed[:, :-1]], axis=1)
-    d_packed = packed - packed_prev
-    camn = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
-    flat_tgt = jnp.where(cnt > 0, camn * mc + offsets, k * mc).reshape(-1)
-    marks = jnp.zeros(k * mc, jnp.int32) \
-        .at[flat_tgt].add(1, mode="drop")
-    geo = jnp.zeros(k * mc, jnp.int32) \
-        .at[flat_tgt].add(d_packed.reshape(-1), mode="drop")
-    if corner_cull:
-        # one packed quantized mean+radius channel — see bin_splats_records
-        # (rode the per-camera depth sort as a payload above)
-        mpk = sorted_out[4]
-        d_mpk = mpk - jnp.concatenate(
-            [jnp.zeros((k, 1), jnp.int32), mpk[:, :-1]], axis=1)
-        geo2 = jnp.zeros(k * mc, jnp.int32) \
-            .at[flat_tgt].add(d_mpk.reshape(-1), mode="drop")
-
-    mflat = jnp.arange(k * mc, dtype=jnp.int32)
-    src_cum = _cumsum_2d(marks)                               # flat running
-    last_pos = _cummax_2d(jnp.where(marks > 0, mflat, -1))
-    packed_cum = _cumsum_2d(geo)
-    # per-camera carry-in at each camera's start (flat value at c*mc - 1)
-    cam_end = jnp.arange(k, dtype=jnp.int32) * mc - 1
-    base_src = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), src_cum[cam_end[1:]]])   # (k,)
-    base_geo = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), packed_cum[cam_end[1:]]])
-    src_p1 = (src_cum.reshape(k, mc) - base_src[:, None]).reshape(-1)
-    packed_m = (packed_cum.reshape(k, mc) - base_geo[:, None]).reshape(-1)
-    tminx_m = packed_m & 127
-    tylo_m = (packed_m >> 7) & 127
-    bw_m = packed_m >> 14
-
-    ml = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1).reshape(-1)
-    ji = mflat - last_pos             # within-camera (marks exist at each
-    #                                   camera's local 0 when total_c > 0)
-    bw_i = jnp.maximum(bw_m, 1)
-    q = jnp.floor(ji.astype(jnp.float32)
-                  / bw_i.astype(jnp.float32)).astype(jnp.int32)
-    r = ji - q * bw_i
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= bw_i, q + 1, q))
-    r = jnp.where(r < 0, r + bw_i, jnp.where(r >= bw_i, r - bw_i, r))
-    tx = tminx_m + r
-    ty = tylo_m + q
-    src = jnp.clip(src_p1 - 1, 0, n - 1).reshape(k, mc)
-    valid = ((ml < jnp.repeat(total_c, mc)) & (src_p1 > 0)).reshape(k, mc)
-    if corner_cull:
-        mpk_cum = _cumsum_2d(geo2)
-        base_mpk = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), mpk_cum[cam_end[1:]]])
-        mpk_m = (mpk_cum.reshape(k, mc) - base_mpk[:, None]).reshape(-1)
-        mx = ((mpk_m & 4095) - 2048).astype(jnp.float32)
-        my = (((mpk_m >> 12) & 4095) - 2048).astype(jnp.float32)
-        rq_m = (mpk_m >> 24) & 127
-        x0 = (tx * TILE).astype(jnp.float32)
-        y0f = (ty * TILE).astype(jnp.float32)
-        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + TILE - 1)), 0.0)
-        dy = jnp.maximum(jnp.maximum(y0f - my, my - (y0f + TILE - 1)), 0.0)
-        rub = rq_m.astype(jnp.float32) + 0.9
-        keep = (dx * dx + dy * dy <= rub * rub) | (rq_m >= 127)
-        valid = valid & keep.reshape(k, mc)
-    cam = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 0)
-    gtile = cam * num_tiles + (ty * tiles_x + tx).reshape(k, mc)  # (k, mc)
-
-    big = (k * num_tiles) << shift
-    key = jnp.where(valid, (gtile << shift) | src, big)
-    key_sorted = jnp.sort(key.reshape(-1))                    # ONE k*mc sort
-    rank_local = key_sorted & ((1 << shift) - 1)
-    gtile_of = key_sorted >> shift
-    # camera of each sorted entry: gtile // T via exact f32 reciprocal
-    # (gtile <= k*T ~ few thousand, exact in f32; +/-1 corrected below)
-    camg = jnp.floor(gtile_of.astype(jnp.float32)
-                     * jnp.float32(1.0 / num_tiles)).astype(jnp.int32)
-    rloc = gtile_of - camg * num_tiles
-    camg = jnp.where(rloc < 0, camg - 1,
-                     jnp.where(rloc >= num_tiles, camg + 1, camg))
-    # sentinel entries (gtile == k*T, rank 0) map to global row k*(N+1) —
-    # exactly the shared zero pad row the blend appends
-    rank_global = camg * (n + 1) + rank_local
-
-    starts = jnp.searchsorted(
-        key_sorted, jnp.arange(k * num_tiles + 1) << shift,
-        side="left").astype(jnp.int32)
-    counts = jnp.diff(starts)
-
-    if corner_cull:
-        # data-dependent drops: per-rank surviving counts via the M-scale
-        # valid cumsum, segmented per camera (flat positions c*mc + local)
-        vcs = _cumsum_2d(valid.reshape(-1).astype(jnp.int32))
-        vcsz = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcs])
-        base = (jnp.arange(k, dtype=jnp.int32) * mc)[:, None]
-        lim = jnp.minimum(total_c, mc)[:, None]               # (k, 1)
-        lo = base + jnp.clip(offsets, 0, lim)
-        hi = base + jnp.clip(offsets + cnt, 0, lim)
-        cnt_surv = vcsz[hi] - vcsz[lo]                        # (k, N)
-    else:
-        # validity is just local position < min(total_c, mc): each rank
-        # survives clip(off+cnt) - clip(off) — O(kN), no M-scale pass
-        lim = jnp.minimum(total_c, mc)[:, None]               # (k, 1)
-        cnt_surv = jnp.clip(offsets + cnt, 0, lim) \
-            - jnp.clip(offsets, 0, lim)                       # (k, N)
-    cnt_all = jnp.concatenate(
-        [cnt_surv, jnp.zeros((k, 1), jnp.int32)], axis=1).reshape(-1)
-    rank_bounds = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(cnt_all)]).astype(jnp.int32)              # (k*(N+1)+1,)
-    return RecordBins(rank_sorted=rank_global, starts=starts, counts=counts,
                       order=order, rank_bounds=rank_bounds)
 
 

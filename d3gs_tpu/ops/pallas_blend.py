@@ -27,11 +27,15 @@ transposes. The cumulative-transmittance prefix scans run on the MXU as
 VPU-bound; the MXU is otherwise idle), with per-record transmittance
 recovered by one exp of the log-space prefix.
 
-Backward write routing (single-tile kernel): EVERY block of a nonempty
-tile goes through the double-buffered write DMA to the (Mb, 16, KB) main
-output; a shared boundary block is read-modify-written sequentially (TPU
-grid steps are serial on the core). The tile-paired kernels still route
-first/last blocks through a per-tile edge output (T, 2, 16, KB).
+Backward write routing: EVERY block of a nonempty tile goes through the
+double-buffered write DMA to the (Mb, 16, KB) main output; a shared
+boundary block is read-modify-written sequentially (TPU grid steps are
+serial on the core), replacing the CUDA backward's atomicAdd overlap
+handling. (A tile-paired 2-tiles-per-grid-step variant and a fused
+k-camera multi-tile variant were built and A/B'd across rounds 1-5;
+both measured slower than this single-stream kernel in every supported
+configuration — 14.5 vs 13.8 ms/step paired, 31.8 vs 14.2 ms/cam fused
+k=10 — and were removed.)
 """
 from __future__ import annotations
 
@@ -88,22 +92,12 @@ def _block_alpha(blk, oxv, oyv, live):
     latency exceeds the ~9 VPU passes it removes, and the kernels' MXU
     slots are better spent on the transmittance scans.
 
-    `oxv`/`oyv`/`live` broadcast against (1, KB) rows, so the tile-paired
-    kernels pass per-lane-half (1, 2·KB) rows unchanged.
-
     Returns alpha (P, KB) and the `clamped` zero-gradient mask."""
     lx, ly = _pixel_grid()
     ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
     opa = blk[8:9]
-    if oxv.ndim == 0 or oxv.shape[-1] == 1:
-        # single-tile kernels: scalar origin — keep the historical
-        # mux - (ox + lx) association (px stays a (P, 1) column)
-        dx = blk[0:1] - (oxv + lx)                     # (P, KB)
-        dy = blk[1:2] - (oyv + ly)
-    else:
-        # pair kernels: per-lane-half origin rows — (mux - ox) - lx
-        dx = (blk[0:1] - oxv) - lx
-        dy = (blk[1:2] - oyv) - ly
+    dx = blk[0:1] - (oxv + lx)                         # (P, KB)
+    dy = blk[1:2] - (oyv + ly)
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = opa * jnp.exp(power)
     bad = (power > 0.0) | (raw < _ALPHA_MIN) | jnp.logical_not(live)
@@ -112,18 +106,13 @@ def _block_alpha(blk, oxv, oyv, live):
     return alpha, clamped
 
 
-def _tri_inc(n, *, seg128=False):
-    """(n, n) f32 inclusive-prefix matrix: tri[j, k] = 1 iff j <= k.
-
-    With seg128, prefixes are confined to independent 128-lane segments
-    (the tile-paired kernels lane-stack two tiles). Built from two iotas
-    (~3 cheap passes over n² elements, once per TILE — negligible next to
-    the per-block (P, KB) work)."""
+def _tri_inc(n):
+    """(n, n) inclusive-prefix matrix: tri[j, k] = 1 iff j <= k. Built
+    from two iotas (~3 cheap passes over n² elements, once per TILE —
+    negligible next to the per-block (P, KB) work)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ok = row <= col
-    if seg128:
-        ok = ok & ((row >> _LOG_KB) == (col >> _LOG_KB))
     # bf16: 0/1 entries are exact; consumed by the 3-chunk split matmuls
     return ok.astype(jnp.bfloat16)
 
@@ -439,418 +428,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         dma_w(jax.lax.rem(nb - 1, 2), 0).wait()
 
 
-# ---------------------------------------------------------------------------
-# Tile-paired kernels: 2 tiles per grid step, the pair's record blocks
-# lane-stacked as (16, 2*KB) and all per-pixel math on (P, 2*KB) arrays.
-# Adjacent tiles have similar duplicate counts, so the per-step loop bound
-# max(nb_a, nb_b) wastes little, while grid steps and per-block control
-# overhead are halved. The seg128 block-diagonal triangular matrix keeps
-# the MXU prefix scans from crossing the half-boundary, so each 128-lane
-# segment scans independently.
-# ---------------------------------------------------------------------------
-
-
-def _sel_half(lanehalf, a, b):
-    """(…,1) per-half columns -> one (…, 2*KB) lane-expanded array."""
-    return jnp.where(lanehalf, b, a)
-
-
-def _fwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf,
-                     sem):
-    t = pl.program_id(0)
-    sA0 = starts_ref[2 * t]
-    sA1 = starts_ref[2 * t + 1]
-    sB1 = starts_ref[2 * t + 2]
-    bA0 = sA0 >> _LOG_KB
-    bB0 = sA1 >> _LOG_KB
-    nbA = jnp.where(sA1 > sA0, ((sA1 - 1) >> _LOG_KB) - bA0 + 1, 0)
-    nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
-    nb = jnp.maximum(nbA, nbB)
-
-    kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
-    kmod = kcol2 & (KB - 1)
-    lanehalf = kcol2 >= KB
-    tri2 = _tri_inc(2 * KB, seg128=True)
-    log_eps = jnp.float32(np.log(_T_EPS))
-    oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
-        .astype(jnp.float32)                               # (1, 2KB)
-    oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
-        .astype(jnp.float32)
-    s0v = _sel_half(lanehalf, sA0, sA1)                    # (1, 2KB)
-    s1v = _sel_half(lanehalf, sA1, sB1)
-    b0v = _sel_half(lanehalf, bA0, bB0)
-
-    def dma(slot, half, b):
-        base = jnp.where(half == 0, bA0, bB0)
-        return pltpu.make_async_copy(slab_ref.at[base + b],
-                                     buf.at[slot, half], sem.at[slot, half])
-
-    @pl.when(nbA > 0)
-    def _():
-        dma(0, 0, 0).start()
-
-    @pl.when(nbB > 0)
-    def _():
-        dma(0, 1, 0).start()
-
-    def body(c):
-        b, ltv2, imgA, imgB, depA, depB, tfin2 = c
-        slot = jax.lax.rem(b, 2)
-
-        @pl.when(b + 1 < nbA)
-        def _():
-            dma(1 - slot, 0, b + 1).start()
-
-        @pl.when(b + 1 < nbB)
-        def _():
-            dma(1 - slot, 1, b + 1).start()
-
-        @pl.when(b < nbA)
-        def _():
-            dma(slot, 0, b).wait()
-
-        @pl.when(b < nbB)
-        def _():
-            dma(slot, 1, b).wait()
-
-        blk = jnp.concatenate([buf[slot, 0], buf[slot, 1]], axis=1)
-        kg = (b0v + b) * KB + kmod
-        live = (kg >= s0v) & (kg < s1v)                    # (1, 2KB)
-        # (a half with b >= nb_h has kg >= s1_h, so live masks it out; the
-        # stale buffer contents never reach alpha)
-        alpha, _ = _block_alpha(blk, oxv, oyv, live)
-
-        om = 1.0 - alpha
-        lo = jnp.log1p(-alpha)
-        acc = _mxu_cumsum(lo, tri2)                    # per-half prefixes
-        ltv_e = _sel_half(lanehalf, ltv2[:, 0:1], ltv2[:, 1:2])
-        ti = jnp.exp(ltv_e + acc)
-        tb = ti / om
-        inc = ti >= _T_EPS
-        w = jnp.where(inc, tb * alpha, 0.0)                # (P, 2KB)
-        # sanitize the colour/depth rows: when a half has exhausted its
-        # blocks (b >= nb_h) its buffer slot may be UNINITIALIZED — w is 0
-        # there, but 0 * NaN = NaN inside the dot
-        rgbA = jnp.where(b < nbA, buf[slot, 0][5:8], 0.0)
-        rgbB = jnp.where(b < nbB, buf[slot, 1][5:8], 0.0)
-        dptA = jnp.where(b < nbA, buf[slot, 0][9:10], 0.0)
-        dptB = jnp.where(b < nbB, buf[slot, 1][9:10], 0.0)
-        imgA = imgA + jax.lax.dot_general(
-            w[:, :KB], rgbA, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        imgB = imgB + jax.lax.dot_general(
-            w[:, KB:], rgbB, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        depA = depA + jax.lax.dot_general(
-            w[:, :KB], dptA, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        depB = depB + jax.lax.dot_general(
-            w[:, KB:], dptB, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ti_or_1 = jnp.where(inc, ti, 1.0)
-        tfin2 = jnp.minimum(tfin2, jnp.concatenate(
-            [jnp.min(ti_or_1[:, :KB], axis=1, keepdims=True),
-             jnp.min(ti_or_1[:, KB:], axis=1, keepdims=True)], axis=1))
-        ltv2 = ltv2 + jnp.concatenate(
-            [acc[:, KB - 1:KB], acc[:, 2 * KB - 1:2 * KB]], axis=1)
-        return (b + 1, ltv2, imgA, imgB, depA, depB, tfin2)
-
-    def cond(c):
-        return (c[0] < nb) & (jnp.max(c[1]) >= log_eps)
-
-    init = (jnp.int32(0), jnp.zeros((P, 2), jnp.float32),
-            jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 3), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
-            jnp.ones((P, 2), jnp.float32))
-    b_f, ltv2, imgA, imgB, depA, depB, tfin2 = \
-        jax.lax.while_loop(cond, body, init)
-
-    # drain prefetched-but-unconsumed DMAs on early termination
-    @pl.when(b_f < nbA)
-    def _():
-        dma(jax.lax.rem(b_f, 2), 0, b_f).wait()
-
-    @pl.when(b_f < nbB)
-    def _():
-        dma(jax.lax.rem(b_f, 2), 1, b_f).wait()
-
-    bff = jnp.full((P, 1), 1.0, jnp.float32) * b_f.astype(jnp.float32)
-    zero = jnp.zeros((P, 1), jnp.float32)
-    out_ref[0, :, 0:3] = imgA
-    out_ref[0, :, 3:4] = depA
-    out_ref[0, :, 4:5] = tfin2[:, 0:1]
-    out_ref[0, :, 5:6] = ltv2[:, 0:1]
-    out_ref[0, :, 6:7] = bff
-    out_ref[0, :, 7:8] = zero
-    out_ref[1, :, 0:3] = imgB
-    out_ref[1, :, 3:4] = depB
-    out_ref[1, :, 4:5] = tfin2[:, 1:2]
-    out_ref[1, :, 5:6] = ltv2[:, 1:2]
-    out_ref[1, :, 6:7] = bff
-    out_ref[1, :, 7:8] = zero
-
-
-def _bwd_kernel_pair(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
-                     gmain_ref, edge_ref, rbuf, wbuf, rsem, wsem, *,
-                     depth_grad=True):
-    """Tile-paired reverse sweep: same math as _bwd_kernel on (P, 2*KB)
-    lane-stacked blocks, with per-half carries (log T, suffix sum) kept as
-    (P, 2) columns and per-half interior-write DMA streams."""
-    t = pl.program_id(0)
-    sA0 = starts_ref[2 * t]
-    sA1 = starts_ref[2 * t + 1]
-    sB1 = starts_ref[2 * t + 2]
-    bA0 = sA0 >> _LOG_KB
-    bB0 = sA1 >> _LOG_KB
-    nbA = jnp.where(sA1 > sA0, ((sA1 - 1) >> _LOG_KB) - bA0 + 1, 0)
-    nbB = jnp.where(sB1 > sA1, ((sB1 - 1) >> _LOG_KB) - bB0 + 1, 0)
-
-    kcol2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * KB), 1)
-    kmod = kcol2 & (KB - 1)
-    lanehalf = kcol2 >= KB
-    tri2 = _tri_inc(2 * KB, seg128=True)
-    oxv = _sel_half(lanehalf, ox_ref[2 * t], ox_ref[2 * t + 1]) \
-        .astype(jnp.float32)
-    oyv = _sel_half(lanehalf, oy_ref[2 * t], oy_ref[2 * t + 1]) \
-        .astype(jnp.float32)
-    s0v = _sel_half(lanehalf, sA0, sA1)
-    s1v = _sel_half(lanehalf, sA1, sB1)
-    b0v = _sel_half(lanehalf, bA0, bB0)
-    mono8 = _mono8()
-    mono_b = mono8[:, :6].astype(jnp.bfloat16)   # integer entries: exact
-
-    g_imgA, g_imgB = g_ref[0, :, 0:3], g_ref[1, :, 0:3]
-    if depth_grad:
-        g_depA, g_depB = g_ref[0, :, 3:4], g_ref[1, :, 3:4]
-    gtt2 = jnp.concatenate(
-        [g_ref[0, :, 4:5] * out_ref[0, :, 4:5],
-         g_ref[1, :, 4:5] * out_ref[1, :, 4:5]], axis=1)   # (P, 2)
-    log_tend2 = jnp.concatenate(
-        [out_ref[0, :, 5:6], out_ref[1, :, 5:6]], axis=1)
-    b_eff = out_ref[0, 0, 6].astype(jnp.int32)
-    beffA = jnp.minimum(b_eff, nbA)
-    beffB = jnp.minimum(b_eff, nbB)
-    nb = jnp.maximum(nbA, nbB)
-
-    def dma_r(slot, half, b):
-        base = jnp.where(half == 0, bA0, bB0)
-        return pltpu.make_async_copy(slab_ref.at[base + b],
-                                     rbuf.at[slot, half],
-                                     rsem.at[slot, half])
-
-    def dma_w(slot, half, b):
-        base = jnp.where(half == 0, bA0, bB0)
-        return pltpu.make_async_copy(wbuf.at[slot, half],
-                                     gmain_ref.at[base + b],
-                                     wsem.at[slot, half])
-
-    edge_ref[0, 0] = jnp.zeros((_REC, KB), jnp.float32)
-    edge_ref[0, 1] = jnp.zeros((_REC, KB), jnp.float32)
-    edge_ref[1, 0] = jnp.zeros((_REC, KB), jnp.float32)
-    edge_ref[1, 1] = jnp.zeros((_REC, KB), jnp.float32)
-
-    @pl.when(beffA > 0)
-    def _():
-        dma_r(jax.lax.rem(beffA - 1, 2), 0, beffA - 1).start()
-
-    @pl.when(beffB > 0)
-    def _():
-        dma_r(jax.lax.rem(beffB - 1, 2), 1, beffB - 1).start()
-
-    def grad_block(b, lcarry2, sfx2, blk, bufA, bufB):
-        ca, cb, cc = blk[2:3], blk[3:4], blk[4:5]
-        opa = blk[8:9]
-        kg = (b0v + b) * KB + kmod
-        # NOTE: select on the int bound, not on booleans — Mosaic cannot
-        # truncate an i8 select result to an i1 vector
-        proc = b < _sel_half(lanehalf, beffA, beffB)
-        live = (kg >= s0v) & (kg < s1v) & proc
-        alpha, clamped = _block_alpha(blk, oxv, oyv, live)
-
-        om = 1.0 - alpha
-        lo = jnp.log1p(-alpha)
-        acc = _mxu_cumsum(lo, tri2)
-        exc = acc - lo
-        s_lo2 = jnp.concatenate(
-            [acc[:, KB - 1:KB], acc[:, 2 * KB - 1:2 * KB]], axis=1)
-        s_lo_e = _sel_half(lanehalf, s_lo2[:, 0:1], s_lo2[:, 1:2])
-        lcarry_e = _sel_half(lanehalf, lcarry2[:, 0:1], lcarry2[:, 1:2])
-        tb = jnp.exp(lcarry_e - s_lo_e + exc)
-        ti = tb * om
-        inc = ti >= _T_EPS
-        w = jnp.where(inc, tb * alpha, 0.0)
-
-        gwA = jax.lax.dot_general(
-            g_imgA, bufA[5:8], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        gwB = jax.lax.dot_general(
-            g_imgB, bufB[5:8], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if depth_grad:
-            gwA = gwA + g_depA * bufA[9:10]
-            gwB = gwB + g_depB * bufB[9:10]
-        # non-processed halves read an uninitialized buffer: their lanes
-        # must be hard-zeroed or NaNs leak into the suffix-sum carry
-        gw = jnp.where(proc, jnp.concatenate([gwA, gwB], axis=1), 0.0)
-        gww = gw * w
-        pin = _mxu_cumsum(gww, tri2)
-        s_g2 = jnp.concatenate(
-            [pin[:, KB - 1:KB], pin[:, 2 * KB - 1:2 * KB]], axis=1)
-        s_g_e = _sel_half(lanehalf, s_g2[:, 0:1], s_g2[:, 1:2])
-        sfx_e = _sel_half(lanehalf, sfx2[:, 0:1], sfx2[:, 1:2])
-        suffix = sfx_e + (s_g_e - pin)
-        gtt_e = _sel_half(lanehalf, gtt2[:, 0:1], gtt2[:, 1:2])
-        inv_om = 1.0 / om
-        incf = inc.astype(jnp.float32)
-        g_alpha = gw * tb * incf - (suffix + gtt_e * incf) * inv_om
-        g_power = jnp.where(clamped, 0.0, g_alpha * alpha)
-        # full-f32-accurate moments in 3 bf16 passes: the moment-difference
-        # reconstruction below (Sdx = ux*M1 - Mx, ...) cancels heavily for
-        # in-tile gaussians, so single-pass-bf16 rounding of the moments
-        # turns into large relative error on the mean/conic gradients —
-        # enough to diverge training. `mono` entries are integers <= 225
-        # (exactly bf16); g_power rides the 3-chunk split.
-        gp1, gp2, gp3 = _split3(g_power)
-        md = lambda a: jax.lax.dot_general(   # noqa: E731
-            mono_b, a, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m6 = md(gp1) + (md(gp2) + md(gp3))
-        m1, mx, my = m6[0:1], m6[1:2], m6[2:3]
-        mxx, mxy, myy = m6[3:4], m6[4:5], m6[5:6]
-        ux = blk[0:1] - oxv
-        uy = blk[1:2] - oyv
-        sdx = ux * m1 - mx
-        sdy = uy * m1 - my
-        sdxx = ux * ux * m1 - 2.0 * ux * mx + mxx
-        sdyy = uy * uy * m1 - 2.0 * uy * my + myy
-        sdxy = ux * uy * m1 - ux * my - uy * mx + mxy
-        g_ca = -0.5 * sdxx
-        g_cb = -sdxy
-        g_cc = -0.5 * sdyy
-        g_mux = -(ca * sdx + cb * sdy)
-        g_muy = -(cc * sdy + cb * sdx)
-        g_opa = jnp.where(jnp.abs(opa) > 1e-12, m1 / opa, 0.0)
-        g_rgbA = jax.lax.dot_general(
-            g_imgA, w[:, :KB], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        g_rgbB = jax.lax.dot_general(
-            g_imgB, w[:, KB:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if depth_grad:
-            g_dptA = jax.lax.dot_general(
-                g_depA, w[:, :KB], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            g_dptB = jax.lax.dot_general(
-                g_depB, w[:, KB:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            g_dpt = jnp.concatenate([g_dptA, g_dptB], axis=1)
-        else:
-            g_dpt = jnp.zeros((1, 2 * KB), jnp.float32)
-        g_rgb = jnp.concatenate([g_rgbA, g_rgbB], axis=1)
-        g_blk = jnp.concatenate(
-            [g_mux, g_muy, g_ca, g_cb, g_cc, g_rgb, g_opa, g_dpt,
-             jnp.zeros((_REC - 10, 2 * KB), jnp.float32)], axis=0)
-        # stale-buffer NaNs reach g_mux/g_muy through ca/ux even where the
-        # moments are zero — zero every non-live lane explicitly
-        g_blk = jnp.where(live, g_blk, 0.0)
-        return g_blk, lcarry2 - s_lo2, sfx2 + s_g2
-
-    def bodyB(i, c):
-        lcarry2, sfx2, wcntA, wcntB = c
-        b = nb - 1 - i
-        slot = jax.lax.rem(b, 2)
-
-        @pl.when((b < beffA) & (b >= 1))
-        def _():
-            dma_r(1 - slot, 0, b - 1).start()
-
-        @pl.when((b < beffB) & (b >= 1))
-        def _():
-            dma_r(1 - slot, 1, b - 1).start()
-
-        def compute(lcarry2, sfx2):
-            @pl.when(b < beffA)
-            def _():
-                dma_r(slot, 0, b).wait()
-
-            @pl.when(b < beffB)
-            def _():
-                dma_r(slot, 1, b).wait()
-
-            blk = jnp.concatenate([rbuf[slot, 0], rbuf[slot, 1]], axis=1)
-            return grad_block(b, lcarry2, sfx2, blk, rbuf[slot, 0],
-                              rbuf[slot, 1])
-
-        def zero(lcarry2, sfx2):
-            return (jnp.zeros((_REC, 2 * KB), jnp.float32), lcarry2, sfx2)
-
-        g_blk, lcarry2, sfx2 = jax.lax.cond(
-            (b < beffA) | (b < beffB), compute, zero, lcarry2, sfx2)
-
-        new_cnt = []
-        for half, nbh, wcnt in ((0, nbA, wcntA), (1, nbB, wcntB)):
-            g_half = g_blk[:, half * KB:(half + 1) * KB]
-            is_first = b == 0
-            is_last = b == nbh - 1
-            in_range = b < nbh
-
-            @pl.when(in_range & is_first)
-            def _():
-                edge_ref[half, 0] = g_half
-
-            @pl.when(in_range & is_last & jnp.logical_not(is_first))
-            def _():
-                edge_ref[half, 1] = g_half
-
-            interior = in_range & jnp.logical_not(is_first | is_last)
-
-            @pl.when(interior)
-            def _():
-                wslot = jax.lax.rem(wcnt, 2)
-
-                @pl.when(wcnt >= 2)
-                def _():
-                    dma_w(wslot, half, nbh - wcnt).wait()
-
-                wbuf[wslot, half] = g_half
-                dma_w(wslot, half, b).start()
-
-            new_cnt.append(wcnt + interior.astype(jnp.int32))
-
-        return (lcarry2, sfx2, new_cnt[0], new_cnt[1])
-
-    _, _, wcntA, wcntB = jax.lax.fori_loop(
-        0, nb, bodyB,
-        (log_tend2, jnp.zeros((P, 2), jnp.float32), jnp.int32(0),
-         jnp.int32(0)))
-
-    for half, nbh, wcnt in ((0, nbA, wcntA), (1, nbB, wcntB)):
-        @pl.when(wcnt >= 2)
-        def _():
-            dma_w(jax.lax.rem(wcnt, 2), half, nbh - wcnt).wait()
-
-        @pl.when(wcnt >= 1)
-        def _():
-            dma_w(jax.lax.rem(wcnt - 1, 2), half, nbh - 1 - wcnt).wait()
-
-
-def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret,
-                pair=False):
-    if pair:
-        assert num_tiles % 2 == 0
-        return pl.pallas_call(
-            _fwd_kernel_pair,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(num_tiles // 2,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
-                                pltpu.SemaphoreType.DMA((2, 2))]),
-            out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
-            interpret=interpret,
-        )(starts, ox, oy, slab_blocks)
+def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
     return pl.pallas_call(
         _fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -867,33 +445,8 @@ def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret,
 
 
 def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
-                interpret, pair=False, depth_grad=True):
+                interpret, depth_grad=True):
     mb = slab_blocks.shape[0]
-    if pair:
-        assert num_tiles % 2 == 0
-        return pl.pallas_call(
-            functools.partial(_bwd_kernel_pair, depth_grad=depth_grad),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(num_tiles // 2,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((2, P, 8), lambda t, *_: (t, 0, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                           pl.BlockSpec((2, 2, _REC, KB),
-                                        lambda t, *_: (t, 0, 0, 0),
-                                        memory_space=pltpu.VMEM)],
-                scratch_shapes=[pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
-                                pltpu.VMEM((2, 2, _REC, KB), jnp.float32),
-                                pltpu.SemaphoreType.DMA((2, 2)),
-                                pltpu.SemaphoreType.DMA((2, 2))]),
-            out_shape=[jax.ShapeDtypeStruct((mb, _REC, KB), jnp.float32),
-                       jax.ShapeDtypeStruct((num_tiles, 2, _REC, KB),
-                                            jnp.float32)],
-            interpret=interpret,
-        )(starts, ox, oy, slab_blocks, g, out)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, depth_grad=depth_grad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -927,53 +480,31 @@ def _make_blocks(rec_pad, rank_pad):
     return slab.reshape(mb, KB, _REC).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _core(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
-          interpret, pair, depth_grad):
+          interpret, depth_grad):
     out, _ = _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy,
-                       num_tiles, interpret, pair, depth_grad)
+                       num_tiles, interpret, depth_grad)
     return out
 
 
 def _core_fwd(rec_pad, rank_pad, rank_bounds, starts, ox, oy, num_tiles,
-              interpret, pair, depth_grad):
+              interpret, depth_grad):
     slab_blocks = _make_blocks(rec_pad, rank_pad)
     out = _fwd_pallas(slab_blocks, starts, ox, oy, num_tiles=num_tiles,
-                      interpret=interpret, pair=pair)
+                      interpret=interpret)
     return out, (slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out,
                  rec_pad.shape[0])
 
 
-def _core_bwd(num_tiles, interpret, pair, depth_grad, res, g):
+def _core_bwd(num_tiles, interpret, depth_grad, res, g):
     slab_blocks, rank_pad, rank_bounds, starts, ox, oy, out, n1 = res
     mb = slab_blocks.shape[0]
-    if pair:
-        g_main, g_edge = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
-                                     num_tiles=num_tiles,
-                                     interpret=interpret, pair=pair,
-                                     depth_grad=depth_grad)
-        # merge the edge stream in BLOCK space: each tile's first/last block
-        # is one whole (16, KB) row — ~2T indices, per-index scatter cost is
-        # tiny. The pair kernel writes every interior block of every tile
-        # (zeros beyond the forward's early-termination point), so the only
-        # unwritten-garbage rows inside [0, total) are the first/last blocks
-        # themselves: scatter-SET them to zero (duplicate indices all write
-        # 0 — order-safe), then scatter-add both edge copies. Blocks beyond
-        # `total` stay garbage; their gradient rows group into the discarded
-        # sentinel rank segment, and the reduction's cumsum prefix at
-        # positions <= total never sees them.
-        eb0 = starts[:num_tiles] >> _LOG_KB                    # (T,)
-        cnt_t = starts[1:] - starts[:num_tiles]
-        eb1 = jnp.where(cnt_t > 0, (starts[1:] - 1) >> _LOG_KB, eb0)
-        e_blk = jnp.concatenate([eb0, eb1])
-        e_rows = jnp.concatenate([g_edge[:, 0], g_edge[:, 1]], axis=0)
-        g_all = g_main.at[e_blk].set(0.0).at[e_blk].add(e_rows)
-    else:
-        # single-stream kernel: every block of every nonempty tile is
-        # written, shared boundary blocks already accumulated in-kernel
-        [g_all] = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
-                              num_tiles=num_tiles, interpret=interpret,
-                              pair=pair, depth_grad=depth_grad)
+    # single-stream kernel: every block of every nonempty tile is written,
+    # shared boundary blocks already accumulated in-kernel
+    [g_all] = _bwd_pallas(slab_blocks, starts, ox, oy, g, out,
+                          num_tiles=num_tiles, interpret=interpret,
+                          depth_grad=depth_grad)
 
     # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
     # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): stably
@@ -1057,7 +588,7 @@ _reorder.defvjp(_reorder_fwd, _reorder_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
-                              "interpret", "pair", "depth_grad"))
+                              "interpret", "depth_grad"))
 def blend_records_pallas(
     records: jax.Array,          # (N, 16) packed, ORIGINAL gaussian order
     bins: RecordBins,
@@ -1069,7 +600,6 @@ def blend_records_pallas(
     height: int,
     interpret: bool = False,
     tile_y0: jax.Array | int = 0,
-    pair: bool = False,
     depth_grad: bool = True,
 ):
     """Drop-in replacement for rasterize.blend_records with no tile-capacity
@@ -1090,18 +620,13 @@ def blend_records_pallas(
 
     # tile_y0 shifts pixel origins for tile-row-sharded strips (the record
     # pixel coordinates are global; parallel/sharded.py passes axis_index)
-    # tile-paired kernels need an even tile count: pad with one empty tile
-    tpad = num_tiles + (num_tiles % 2) if pair else num_tiles
-    tids = jnp.arange(tpad, dtype=jnp.int32)
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
     ox = (tids % tiles_x) * TILE
     oy = (tids // tiles_x + jnp.asarray(tile_y0, jnp.int32)) * TILE
 
     starts_i = bins.starts.astype(jnp.int32)
-    if tpad != num_tiles:
-        starts_i = jnp.concatenate([starts_i, starts_i[-1:]])
-
     out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
-                starts_i, ox, oy, tpad, interpret, pair,
+                starts_i, ox, oy, num_tiles, interpret,
                 depth_grad)[:num_tiles]
     img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
     dep = out[:, :, 3]
@@ -1113,72 +638,5 @@ def blend_records_pallas(
         x = jnp.swapaxes(x, 1, 2)
         x = x.reshape((tiles_y * TILE, tiles_x * TILE) + ch)
         return x[:height, :width]
-
-    return assemble(img), assemble(dep), assemble(alpha)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "width", "height",
-                              "interpret", "pair", "depth_grad"))
-def blend_records_pallas_multi(
-    records: jax.Array,          # (k, N, 16) packed, per-camera orig order
-    bins: RecordBins,            # from binning.bin_splats_records_multi
-    bg: jax.Array,
-    *,
-    tiles_x: int,
-    tiles_y: int,
-    width: int,
-    height: int,
-    interpret: bool = False,
-    pair: bool = False,
-    depth_grad: bool = True,
-):
-    """Fused k-camera blend: the SAME pallas kernels run over one grid of
-    k*T global tiles (flagship trainer, reference train.py:224-251). Images
-    come back batched (k, H, W, ...); record cotangents flow back per
-    camera through the per-camera depth orders."""
-    k, n = records.shape[:2]
-    t_local = tiles_x * tiles_y
-    gt = k * t_local
-    m = bins.rank_sorted.shape[0]
-    mpad = ((m + KB - 1) // KB) * KB
-
-    rec_depth = jnp.take_along_axis(records, bins.order[..., None], axis=1)
-    rec_pad = jnp.concatenate(
-        [rec_depth, jnp.zeros((k, 1, records.shape[2]), records.dtype)],
-        axis=1).reshape(k * (n + 1), records.shape[2])
-    rec_pad = jnp.concatenate(
-        [rec_pad, jnp.zeros((1, records.shape[2]), records.dtype)], axis=0)
-
-    total = bins.starts[gt]
-    marange = jnp.arange(mpad, dtype=jnp.int32)
-    rank_pad = jnp.where(
-        marange < total,
-        jnp.pad(bins.rank_sorted.astype(jnp.int32), (0, mpad - m)),
-        k * (n + 1))
-
-    tpad = gt + (gt % 2) if pair else gt
-    tids = jnp.arange(tpad, dtype=jnp.int32)
-    ltid = tids % t_local
-    ox = (ltid % tiles_x) * TILE
-    oy = (ltid // tiles_x) * TILE
-    starts_i = bins.starts.astype(jnp.int32)
-    if tpad != gt:
-        starts_i = jnp.concatenate([starts_i, starts_i[-1:]])
-
-    out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
-                starts_i, ox, oy, tpad, interpret, pair, depth_grad)[:gt]
-
-    out = out.reshape(k, t_local, P, 8)
-    img = out[..., 0:3] + out[..., 4:5] * bg[None, None, None, :]
-    dep = out[..., 3]
-    alpha = 1.0 - out[..., 4]
-
-    def assemble(x):                                   # (k, T, P) + ch
-        ch = x.shape[3:]
-        x = x.reshape((k, tiles_y, tiles_x, TILE, TILE) + ch)
-        x = jnp.swapaxes(x, 2, 3)
-        x = x.reshape((k, tiles_y * TILE, tiles_x * TILE) + ch)
-        return x[:, :height, :width]
 
     return assemble(img), assemble(dep), assemble(alpha)

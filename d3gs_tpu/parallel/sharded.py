@@ -85,8 +85,7 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
             img, dep, alp = blend_records_pallas(
                 pack_records(splats), rbins, bg, tiles_x=tiles_x,
                 tiles_y=tiles_y_local, width=width, height=strip_h,
-                interpret=jax.default_backend() != "tpu", tile_y0=ty0,
-                pair=pipe_cfg.pair_tiles)
+                interpret=jax.default_backend() != "tpu", tile_y0=ty0)
             return img, dep, alp, radii_l, rbins.counts
         if binning == "packed":
             rbins = bin_splats_records(
@@ -315,7 +314,6 @@ def make_flagship_gauss_tile_step(
                     rec, rbins, bg, tiles_x=tiles_x,
                     tiles_y=tiles_y_local, width=width, height=strip_h,
                     interpret=jax.default_backend() != "tpu", tile_y0=ty0,
-                    pair=pipe_cfg.pair_tiles,
                     depth_grad=getattr(pipe_cfg, "depth_grad", False))
             else:
                 rbins = bin_splats_records(
@@ -511,7 +509,6 @@ def make_flagship_camera_parallel_step(
             bin_chunk=pipe_cfg.bin_chunk,
             binning=pipe_cfg.binning,
             dup_capacity=pipe_cfg.dup_capacity,
-            pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias,
             depth_grad=getattr(pipe_cfg, "depth_grad", False))
         ll1 = l1_loss(out.image, cam.image)

@@ -13,8 +13,11 @@ TPU re-design notes:
   * the k-camera loop (train.py:224-251, sequential renders) becomes a
     `lax.map` over the stacked camera pytree inside ONE jitted step — one
     compile, one dispatch per iteration. (Both a vmap-batched render and a
-    fully fused k-camera sort+blend were built and measured SLOWER on a
-    single chip — see PipelineParams.fused_cameras;)
+    fully fused k-camera sort+blend — one global (cam, tile, depth) sort
+    feeding one k*T-tile pallas grid — were built and measured SLOWER on a
+    single chip across three rounds of kernel work, 31.8 vs 14.2 ms/cam at
+    k=10 in round 5, and were removed: every M-scale op is linear in k
+    either way and XLA's monolithic k*M sorts scale superlinearly;)
   * `max_batch_gaussians` micro-batching (train.py:165-198, an OOM
     workaround) is unnecessary: fixed-capacity buffers + checkpointed
     blending bound memory already, and the flag is accepted but ignored;
@@ -73,27 +76,6 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
     direct = opt_cfg.direct_compute and field.spec.kind in (
         "ode", "simple", "simple_start")
     _train_prec = getattr(pipe_cfg, "train_matmul_precision", "highest")
-    # fused path (opt-in): one global (cam, tile, depth) sort + one pallas
-    # blend over k*T tiles (renderer.render_multi). Measured slower than the
-    # scan loop on a single chip (33 vs 21 ms/cam at k=10) — every M-scale
-    # op is linear in k anyway and XLA's monolithic k*M sorts/batched
-    # gathers scale superlinearly — so the default stays lax.map.
-    fused = getattr(pipe_cfg, "fused_cameras", False) and \
-        pipe_cfg.binning in ("auto", "pallas")
-
-    def render_all_fused(st, cams, dxs, drs, dss, tap, bg):
-        from ..models.renderer import render_multi
-        out = render_multi(
-            st, cams, d_xyz=dxs, d_rotation=drs, d_scaling=dss,
-            is_6dof=model_cfg.is_6dof,
-            direct_compute=direct and use_deform,
-            bg=bg, means2d_tap=tap, dup_capacity=pipe_cfg.dup_capacity,
-            pair_tiles=pipe_cfg.pair_tiles,
-            depth_grad=getattr(pipe_cfg, "depth_grad", False))
-        ll1s = jnp.mean(jnp.abs(out.image - cams.image), axis=(1, 2, 3))
-        ssims = jax.vmap(ssim)(out.image, cams.image)
-        losses = (1 - lambda_dssim) * ll1s + lambda_dssim * (1 - ssims)
-        return losses, ll1s, out.radii, jnp.max(out.counts)
 
     def render_one(st, cam, dx, dr, ds, tap, bg):
         out = render(
@@ -131,9 +113,20 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
         wsum = jnp.sum(w)
         tap0 = jnp.zeros((cap, 2))
 
+        # MLP deformation kinds evaluate each camera's fid independently, so
+        # the eval moves INSIDE the per-camera scan: staging all k evals as
+        # a (k, N, 3) buffer up front costs a dynamic-slice per camera plus
+        # a dynamic-update-slice cotangent accumulation per camera in the
+        # backward (~1.2 ms/cam at bench scale) and denies XLA the
+        # MLP-with-render fusion the single-camera step enjoys. ODE kinds
+        # integrate ONE trajectory through the sorted window (the whole
+        # point of the batched trainer, reference train.py:144-213) and
+        # stay staged.
+        indep_evals = use_deform and field.spec.kind in ("baseline", "warp")
+
         def loss_fn(g_params, d_params, tap):
             st = state.replace(params=g_params)
-            if use_deform:
+            if use_deform and not indep_evals:
                 xyz = jax.lax.stop_gradient(g_params.xyz)
                 fids = jnp.sort(cams.fid)
                 dxs, drs, dss = field.step_multi(d_params, xyz, fids,
@@ -142,24 +135,18 @@ def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,
                 dxs = jnp.zeros((k, 1, 1))
                 drs = dss = jnp.zeros((k, 1, 1))
 
-            if fused:
-                losses, ll1s, radii, ovf = render_all_fused(
-                    st, cams,
-                    dxs if use_deform else 0.0,
-                    drs if use_deform else 0.0,
-                    dss if use_deform else 0.0, tap, bg)
-                return jnp.sum(w * losses) / wsum, (
-                    jnp.sum(w * ll1s) / wsum,
-                    jnp.max(radii, axis=0), ovf)
-
             def per_cam(cam, dx, dr, ds):
+                if indep_evals:
+                    xyz = jax.lax.stop_gradient(g_params.xyz)
+                    dx, dr, ds = field.step(d_params, xyz, cam.fid)
+                    return render_one(st, cam, dx, dr, ds, tap, bg)
                 if use_deform:
                     return render_one(st, cam, dx, dr, ds, tap, bg)
                 return render_one(st, cam, 0.0, 0.0, 0.0, tap, bg)
 
-            # non-fused fallback: lax.map (scan), NOT vmap — batching the
-            # pallas blend + binning sorts across cameras via vmap measured
-            # ~2x slower per camera than running them sequentially
+            # lax.map (scan), NOT vmap — batching the pallas blend +
+            # binning sorts across cameras via vmap measured ~2x slower
+            # per camera than running them sequentially
             losses, ll1s, radii, ovf = jax.lax.map(
                 lambda args: per_cam(*args), (cams, dxs, drs, dss))
             return jnp.sum(w * losses) / wsum, (

@@ -86,8 +86,6 @@ def make_train_step(
             binning=pipe_cfg.binning,
             dup_capacity=pipe_cfg.dup_capacity,
             tight_cull=pipe_cfg.tight_cull,
-            corner_cull=getattr(pipe_cfg, "corner_cull", False),
-            pair_tiles=pipe_cfg.pair_tiles,
             antialias=pipe_cfg.antialias,
             # every stock loss is photometric (+ deform-output
             # regularizers): the depth cotangent is structurally zero and
@@ -192,8 +190,6 @@ def make_eval_render(*, pipe_cfg, is_6dof=False, direct_compute=False,
                       binning=pipe_cfg.binning,
                       dup_capacity=pipe_cfg.dup_capacity,
                       tight_cull=pipe_cfg.tight_cull,
-                      corner_cull=getattr(pipe_cfg, "corner_cull", False),
-                      pair_tiles=pipe_cfg.pair_tiles,
                       antialias=pipe_cfg.antialias)
 
     def eval_render(state, deform_state, camera, bg):

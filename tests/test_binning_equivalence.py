@@ -56,35 +56,3 @@ def test_sort_binning_dup_overflow_drops_deepest():
         kept = sm[t][sm[t] < n]
         # surviving entries are a depth-prefix of the full list
         np.testing.assert_array_equal(kept, fl[t][:len(kept)])
-
-
-def test_corner_cull_is_output_exact():
-    """corner_cull drops bbox-corner duplicates whose whole tile fails the
-    1/255 alpha-min test — the blended image must be IDENTICAL (the dropped
-    records contribute zero color and consume zero transmittance)."""
-    from d3gs_tpu.ops.binning import bin_splats_records
-    from d3gs_tpu.ops.rasterize import blend_records, pack_records
-
-    splats, w, h = _project(seed=4, n=600)
-    tx, ty = (w + 15) // 16, (h + 15) // 16
-    on = bin_splats_records(splats, tiles_x=tx, tiles_y=ty, corner_cull=True)
-    off = bin_splats_records(splats, tiles_x=tx, tiles_y=ty,
-                             corner_cull=False)
-    n_on = int(on.counts.sum())
-    n_off = int(off.counts.sum())
-    assert n_on <= n_off
-    assert n_on > 0
-    records = pack_records(splats)
-    bg = jnp.asarray([0.1, 0.2, 0.3])
-    img_on, dep_on, alp_on = blend_records(
-        records, on, bg, tiles_x=tx, tiles_y=ty, width=w, height=h,
-        tile_capacity=512, tile_chunk=8)
-    img_off, dep_off, alp_off = blend_records(
-        records, off, bg, tiles_x=tx, tiles_y=ty, width=w, height=h,
-        tile_capacity=512, tile_chunk=8)
-    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(dep_on), np.asarray(dep_off),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(alp_on), np.asarray(alp_off),
-                               atol=1e-6)

@@ -58,24 +58,22 @@ def _ref(records, rbins, bg):
                          width=W, height=H, tile_capacity=512, tile_chunk=4)
 
 
-def _pal(records, rbins, bg, pair=False):
+def _pal(records, rbins, bg):
     return blend_records_pallas(records, rbins, bg, tiles_x=TX, tiles_y=TY,
-                                width=W, height=H, interpret=True, pair=pair)
+                                width=W, height=H, interpret=True)
 
 
-@pytest.mark.parametrize("pair", [False, True])
-def test_forward_matches_packed(scene, pair):
+def test_forward_matches_packed(scene):
     records, rbins = scene
     bg = jnp.asarray([0.1, 0.2, 0.3])
     ref = _ref(records, rbins, bg)
-    pal = _pal(records, rbins, bg, pair)
+    pal = _pal(records, rbins, bg)
     for a, b in zip(ref, pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("pair", [False, True])
-def test_gradients_match_packed(scene, pair):
+def test_gradients_match_packed(scene):
     records, rbins = scene
     bg = jnp.asarray([0.0, 0.0, 0.0])
     tgt = jnp.ones((H, W, 3)) * 0.5
@@ -88,8 +86,7 @@ def test_gradients_match_packed(scene, pair):
         return f
 
     gr, gbr = jax.grad(loss(_ref), argnums=(0, 1))(records, bg)
-    gp, gbp = jax.grad(loss(lambda r, rb, b: _pal(r, rb, b, pair)),
-                       argnums=(0, 1))(records, bg)
+    gp, gbp = jax.grad(loss(_pal), argnums=(0, 1))(records, bg)
     scale = np.abs(np.asarray(gr)).max() + 1e-8
     np.testing.assert_allclose(np.asarray(gp) / scale,
                                np.asarray(gr) / scale, atol=2e-4)
@@ -136,65 +133,11 @@ def test_saturated_tile_gradients_finite_and_match():
         return lambda r: jnp.sum(fn(r, rbins, bg)[0] ** 2)
 
     gr = jax.grad(loss(_ref))(records)
-    for pair in (False, True):
-        gp = jax.grad(loss(lambda r, rb, b: _pal(r, rb, b, pair)))(records)
-        assert np.isfinite(np.asarray(gp)).all()
-        scale = np.abs(np.asarray(gr)).max() + 1e-8
-        np.testing.assert_allclose(np.asarray(gp) / scale,
-                                   np.asarray(gr) / scale, atol=5e-4)
-
-
-def test_pair_odd_tile_count(scene):
-    """Paired kernels with an ODD number of tiles (the bench config's 25x25
-    grid is odd): render a 48-px-wide strip -> 3x4 = 12... use 3x3 via a
-    48x48 crop binned independently."""
-    records, _ = scene
-    # rebuild bins for a 48x48 viewport (3x3 = 9 tiles, odd)
-    import d3gs_tpu.ops.rasterize as R
-    from d3gs_tpu.ops.binning import bin_splats_records as _bsr
-    # reproject is overkill: reuse records but rebin with a smaller grid by
-    # clamping tile bboxes — simplest is an independent tiny scene
-    rng = np.random.default_rng(7)
-    n, cap = 200, 256
-    pts = (rng.random((n, 3)) * 2.0 - 1.0).astype(np.float32)
-    state = G.create_from_pcd(pts, np.full((n, 3), 0.5), sh_degree=0,
-                              capacity=cap)
-    state = state.replace(params=state.params._replace(
-        opacity=jnp.asarray(rng.uniform(-1, 3, (cap, 1)), jnp.float32)))
-    V = world_to_view(np.eye(3), np.array([0, 0, 3.0])).T
-    fov = math.radians(60)
-    Pm = perspective_projection(0.01, 100.0, fov, fov).T
-    tan = math.tan(fov / 2)
-    w = h = 48
-    cov = cov3d_packed(state.get_scaling, state.params.rotation)
-    splats = project_gaussians(
-        state.params.xyz, cov, state.get_opacity[:, 0],
-        jnp.asarray(rng.uniform(0, 1, (cap, 3)), jnp.float32),
-        jnp.asarray(V, jnp.float32), jnp.asarray(V @ Pm, jnp.float32),
-        tan, tan, w, h, alive=state.alive)
-    rbins = _bsr(splats, tiles_x=3, tiles_y=3)
-    recs = pack_records(splats)
-    bg = jnp.asarray([0.2, 0.1, 0.0])
-    ref = R.blend_records(recs, rbins, bg, tiles_x=3, tiles_y=3,
-                          width=w, height=h, tile_capacity=256, tile_chunk=3)
-    pal = blend_records_pallas(recs, rbins, bg, tiles_x=3, tiles_y=3,
-                               width=w, height=h, interpret=True, pair=True)
-    for a, b in zip(ref, pal):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=5e-5, rtol=1e-4)
-
-    def loss(fn):
-        return lambda r: jnp.sum(fn(r)[0] ** 2)
-
-    gr = jax.grad(loss(lambda r: R.blend_records(
-        r, rbins, bg, tiles_x=3, tiles_y=3, width=w, height=h,
-        tile_capacity=256, tile_chunk=3)))(recs)
-    gp = jax.grad(loss(lambda r: blend_records_pallas(
-        r, rbins, bg, tiles_x=3, tiles_y=3, width=w, height=h,
-        interpret=True, pair=True)))(recs)
+    gp = jax.grad(loss(_pal))(records)
+    assert np.isfinite(np.asarray(gp)).all()
     scale = np.abs(np.asarray(gr)).max() + 1e-8
     np.testing.assert_allclose(np.asarray(gp) / scale,
-                               np.asarray(gr) / scale, atol=2e-4)
+                               np.asarray(gr) / scale, atol=5e-4)
 
 
 def test_dup_budget_overflow_drops_deepest_only():

@@ -1,4 +1,4 @@
-"""Device-true timing of the flagship k-camera step: fused vs lax.map.
+"""Device-true timing of the flagship k-camera step (lax.map loop).
 
 Bench-scale scene (43k gaussians, 400x400) with k = num_cams_per_iter
 cameras per iteration; reports ms/iter and ms/camera for both paths.
@@ -81,7 +81,5 @@ def time_step(name, pipe_cfg):
           flush=True)
 
 
-time_step(f"flagship fused (k={K})",
-          PipelineParams(dup_capacity=393_216))
 time_step(f"flagship lax.map (k={K})",
-          PipelineParams(dup_capacity=393_216, fused_cameras=False))
+          PipelineParams(dup_capacity=393_216))

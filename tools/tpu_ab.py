@@ -1,7 +1,7 @@
 """In-process A/B of train-step variants on the device-true timing loop.
 
 Run-to-run sigma across processes is 4-8% on the tunnel, so flag decisions
-(tight_cull, pair_tiles) must be measured in ONE process, interleaved
+(e.g. tight_cull) must be measured in ONE process, interleaved
 (A, B, A, B) with the fori-loop chaining methodology bench.py uses.
 
   python tools/tpu_ab.py                     # bench-scale, all variants
@@ -25,9 +25,7 @@ import numpy as np
 
 VARIANTS = {
     "base": {},
-    "no_corner_cull": {"corner_cull": False},
     "tight_cull": {"tight_cull": True},
-    "pair_tiles": {"pair_tiles": True},
     "highest": {"train_matmul_precision": "highest"},
 }
 

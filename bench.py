@@ -109,13 +109,104 @@ def main():
     t_lo, t_hi = run(3), run(23)
     dt = (t_hi - t_lo) / 20.0
 
+    # ---- render-only (forward) throughput at the same config: deform MLP
+    # forward + projection + binning + pallas blend + assemble, chained
+    # on-device like the train loop (the carry feeds each frame's fid so
+    # nothing can be elided). The reference's comparable figure is its
+    # render FPS benchmark (render_baseline.py:57-74 -> README 179 FPS avg).
+    import dataclasses as _dc
+    from d3gs_tpu.models.renderer import render as _render
+
+    def render_body(carry):
+        acc, it = carry
+        fid = jnp.asarray(0.5) + acc * 0.0
+        dx, dr, ds = field.step(dstate.params, state.params.xyz, fid)
+        out = _render(state, _dc.replace(cam, fid=fid),
+                      d_xyz=dx, d_rotation=dr, d_scaling=ds, bg=bg,
+                      dup_capacity=pipe_cfg.dup_capacity,
+                      tile_capacity=pipe_cfg.tile_capacity,
+                      tile_chunk=pipe_cfg.tile_chunk)
+        return (jnp.sum(out.image[0]) * 1e-9, it + 1.0)
+
+    def run_render(n_iters):
+        f = jax.jit(lambda c, n=n_iters: jax.lax.fori_loop(
+            0, n, lambda i, c: render_body(c), c))
+        init = (jnp.asarray(0.0), jnp.asarray(0.0))
+        out = f(init)
+        float(out[0])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = f(init)
+            float(out[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r_lo, r_hi = run_render(4), run_render(44)
+    dt_render = (r_hi - r_lo) / 40.0
+
+    # ---- flagship k-camera step (the reference's headline configuration,
+    # train.py:224-251): per-camera cost of the batched trainer at k=10
+    from d3gs_tpu.config import ModelParams
+    from d3gs_tpu.data.cameras import stack_cameras
+    from d3gs_tpu.train.flagship import make_batched_step, pick_field_spec
+
+    K = 10
+    cams = []
+    for i in range(K):
+        Vi = world_to_view(np.eye(3),
+                           np.array([0.1 * i, -0.1 * i, 4.0 + 0.2 * i])).T
+        cams.append(Camera(
+            viewmatrix=jnp.asarray(Vi, jnp.float32),
+            projmatrix=jnp.asarray(Vi @ P, jnp.float32),
+            campos=jnp.asarray(np.linalg.inv(Vi)[3, :3], jnp.float32),
+            fid=jnp.asarray(i / (K - 1)),
+            image=jnp.asarray(rng.random((HEIGHT, WIDTH, 3)), jnp.float32),
+            width=WIDTH, height=HEIGHT, fovx=fov, fovy=fov))
+    batch = stack_cameras(cams)
+    model_cfg = ModelParams(is_blender=True)
+    fopt = OptimizationParams(num_cams_per_iter=K)
+    fspec = pick_field_spec(model_cfg, fopt)
+    fdstate, ffield = create_deform_field(fspec, jax.random.PRNGKey(0), fopt)
+    fstep = make_batched_step(
+        opt_cfg=fopt, pipe_cfg=pipe_cfg, model_cfg=model_cfg, field=ffield,
+        update_gaussians=True, update_deform=True, use_deform=True)
+
+    def run_flagship(n_iters):
+        @jax.jit
+        def f(st, dst):
+            def body(i, c):
+                s, d, it = c
+                s2, d2, *_ = fstep(s, d, batch, 3001.0 + it, key, bg)
+                return (s2, d2, it + 1.0)
+            return jax.lax.fori_loop(0, n_iters, body,
+                                     (st, dst, jnp.asarray(0.0)))
+        out = f(state, fdstate)
+        float(jnp.sum(out[0].params.xyz))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = f(state, fdstate)
+            float(jnp.sum(out[0].params.xyz))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    f_lo, f_hi = run_flagship(2), run_flagship(8)
+    dt_flag = (f_hi - f_lo) / 6.0
+
     mrays = WIDTH * HEIGHT / dt / 1e6
     baseline = 28.6  # render-only Mrays/s of the reference GPU (BASELINE.md)
+    render_mrays = WIDTH * HEIGHT / dt_render / 1e6
     print(json.dumps({
         "metric": "train_step_throughput_43k_gaussians_400x400",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip (fwd+bwd+opt)",
         "vs_baseline": round(mrays / baseline, 3),
+        "render_only_mrays": round(render_mrays, 3),
+        "render_only_fps": round(1.0 / dt_render, 1),
+        "render_vs_baseline": round(render_mrays / baseline, 3),
+        "flagship_ms_per_cam_k10": round(dt_flag * 1000 / K, 3),
+        "train_step_ms": round(dt * 1000, 3),
     }))
 
 

@@ -142,8 +142,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    r_lo, r_hi = run_render(4), run_render(44)
-    dt_render = (r_hi - r_lo) / 40.0
+    try:
+        r_lo, r_hi = run_render(4), run_render(44)
+        dt_render = (r_hi - r_lo) / 40.0
+    except Exception:           # extras must never sink the main metric
+        dt_render = None
 
     # ---- flagship k-camera step (the reference's headline configuration,
     # train.py:224-251): per-camera cost of the batched trainer at k=10
@@ -191,23 +194,29 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    f_lo, f_hi = run_flagship(2), run_flagship(8)
-    dt_flag = (f_hi - f_lo) / 6.0
+    try:
+        f_lo, f_hi = run_flagship(2), run_flagship(8)
+        dt_flag = (f_hi - f_lo) / 6.0
+    except Exception:
+        dt_flag = None
 
     mrays = WIDTH * HEIGHT / dt / 1e6
     baseline = 28.6  # render-only Mrays/s of the reference GPU (BASELINE.md)
-    render_mrays = WIDTH * HEIGHT / dt_render / 1e6
-    print(json.dumps({
+    out = {
         "metric": "train_step_throughput_43k_gaussians_400x400",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip (fwd+bwd+opt)",
         "vs_baseline": round(mrays / baseline, 3),
-        "render_only_mrays": round(render_mrays, 3),
-        "render_only_fps": round(1.0 / dt_render, 1),
-        "render_vs_baseline": round(render_mrays / baseline, 3),
-        "flagship_ms_per_cam_k10": round(dt_flag * 1000 / K, 3),
         "train_step_ms": round(dt * 1000, 3),
-    }))
+    }
+    if dt_render is not None:
+        render_mrays = WIDTH * HEIGHT / dt_render / 1e6
+        out["render_only_mrays"] = round(render_mrays, 3)
+        out["render_only_fps"] = round(1.0 / dt_render, 1)
+        out["render_vs_baseline"] = round(render_mrays / baseline, 3)
+    if dt_flag is not None:
+        out["flagship_ms_per_cam_k10"] = round(dt_flag * 1000 / K, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -225,12 +234,12 @@ if __name__ == "__main__":
             "value": 0.0,
             "unit": "Mrays/s/chip (fwd+bwd+opt)",
             "vs_baseline": 0.0,
-            "error": "bench watchdog: no result within 30 min (TPU "
-                     "tunnel unreachable or compile stuck)",
+            "error": "bench watchdog: no result within 40 min (TPU "
+                     "tunnel unreachable or compile stuck)"[:300],
         }), flush=True)
         os._exit(0)
 
-    timer = threading.Timer(1800, _watchdog)
+    timer = threading.Timer(2400, _watchdog)
     timer.daemon = True
     timer.start()
     try:

@@ -198,12 +198,17 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         w = jnp.where(inc, tb * alpha, 0.0)            # (P, KB)
         rgb = blk[5:8]                                 # (3, KB)
         dpt = blk[9:10]
+        # CHANNEL-MAJOR accumulation (C, P): the (T, 8, P) output keeps
+        # P=256 on lanes (2 full lane tiles); a (T, P, 8) output leaves
+        # 8 of 128 lanes live and every DMA + every XLA pass over it pays
+        # ~16x physical amplification. Swapping the dot operand order
+        # produces the row layout for free.
         img = img + jax.lax.dot_general(
-            w, rgb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (P, 3)
+            rgb, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (3, P)
         dep = dep + jax.lax.dot_general(
-            w, dpt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (P, 1)
+            dpt, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (1, P)
         tfin = jnp.minimum(tfin, jnp.min(jnp.where(inc, ti, 1.0), axis=1,
                                          keepdims=True))
         ltv = ltv + acc[:, KB - 1:KB]
@@ -213,7 +218,7 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
         return (c[0] < nb) & (jnp.max(c[1]) >= log_eps)
 
     init = (jnp.int32(0), jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 3), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((3, P), jnp.float32), jnp.zeros((1, P), jnp.float32),
             jnp.ones((P, 1), jnp.float32))
     b_f, ltv, img, dep, tfin = jax.lax.while_loop(cond, body, init)
 
@@ -222,15 +227,16 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
     def _():
         dma(jax.lax.rem(b_f, 2), b_f).wait()
 
-    out_ref[0, :, 0:3] = img
-    out_ref[0, :, 3:4] = dep
-    out_ref[0, :, 4:5] = tfin
+    out_ref[0, 0:3, :] = img
+    out_ref[0, 3:4, :] = dep
+    # per-pixel aux columns transpose ONCE per tile (not per block)
+    out_ref[0, 4:5, :] = tfin.reshape(1, P)
     # backward-pass anchors: EXACT log T after the last processed block
     # (underflow-free), and the number of blocks actually processed
-    out_ref[0, :, 5:6] = ltv
-    out_ref[0, :, 6:7] = jnp.full((P, 1), 1.0, jnp.float32) * \
+    out_ref[0, 5:6, :] = ltv.reshape(1, P)
+    out_ref[0, 6:7, :] = jnp.full((1, P), 1.0, jnp.float32) * \
         b_f.astype(jnp.float32)
-    out_ref[0, :, 7:8] = jnp.zeros((P, 1), jnp.float32)
+    out_ref[0, 7:8, :] = jnp.zeros((1, P), jnp.float32)
 
 
 def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
@@ -268,17 +274,19 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     mono_b = mono8[:, :6].astype(jnp.bfloat16)   # integer entries: exact
 
     # upstream cotangent channels + the fwd pass's anchors, read straight
-    # from the two (T, P, 8) buffers (no XLA-side repacking). The alpha
-    # cotangent g_tf is live even for an image-only loss (the caller's
-    # `img + T_final·bg` composition routes bg gradients through it); the
-    # depth cotangent is statically zero for the photometric trainers and
-    # its math is skipped when depth_grad=False.
-    g_img = g_ref[0, :, 0:3]                           # (P, 3)
-    g_dep = g_ref[0, :, 3:4] if depth_grad else None   # (P, 1)
-    g_tf = g_ref[0, :, 4:5]
-    t_final = out_ref[0, :, 4:5]
-    log_tend = out_ref[0, :, 5:6]                      # log T(end), (P, 1)
-    b_eff = out_ref[0, 0, 6].astype(jnp.int32)         # blocks fwd processed
+    # from the two CHANNEL-MAJOR (T, 8, P) buffers (P on lanes — see the
+    # forward kernel's layout note). The alpha cotangent g_tf is live even
+    # for an image-only loss (the caller's `img + T_final·bg` composition
+    # routes bg gradients through it); the depth cotangent is statically
+    # zero for the photometric trainers and its math is skipped when
+    # depth_grad=False. Per-pixel aux rows transpose to columns ONCE per
+    # tile here.
+    g_img = g_ref[0, 0:3, :]                           # (3, P)
+    g_dep = g_ref[0, 3:4, :].reshape(P, 1) if depth_grad else None
+    g_tf = g_ref[0, 4:5, :]                            # (1, P)
+    t_final = g_tf * out_ref[0, 4:5, :]                # g_tf·T_final, (1, P)
+    log_tend = out_ref[0, 5:6, :].reshape(P, 1)        # log T(end), (P, 1)
+    b_eff = out_ref[0, 6, 0].astype(jnp.int32)         # blocks fwd processed
 
     def dma_r(slot, b):
         return pltpu.make_async_copy(slab_ref.at[b0 + b], rbuf.at[slot],
@@ -301,7 +309,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     def _():
         dma_r(jax.lax.rem(b_eff - 1, 2), b_eff - 1).start()
 
-    gtt = g_tf * t_final                               # (P, 1)
+    gtt = t_final.reshape(P, 1)                        # g_tf·T_final column
 
     tri = _tri_inc(KB)
 
@@ -320,8 +328,8 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         inc = ti >= _T_EPS
         w = jnp.where(inc, tb * alpha, 0.0)
         rgb, dpt = blk[5:8], blk[9:10]
-        gw = jax.lax.dot_general(g_img, rgb, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        gw = jax.lax.dot_general(g_img, rgb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (P,KB)
         if depth_grad:
             gw = gw + g_dep * dpt                      # (P, KB)
         gww = gw * w
@@ -360,7 +368,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
         g_muy = -(cc * sdy + cb * sdx)
         opa = blk[8:9]
         g_opa = jnp.where(jnp.abs(opa) > 1e-12, m1 / opa, 0.0)
-        g_rgb = jax.lax.dot_general(g_img, w, (((0,), (0,)), ((), ())),
+        g_rgb = jax.lax.dot_general(g_img, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         if depth_grad:
             g_dpt = jax.lax.dot_general(g_dep, w, (((0,), (0,)), ((), ())),
@@ -435,11 +443,11 @@ def _fwd_pallas(slab_blocks, starts, ox, oy, *, num_tiles, interpret):
             num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((2, _REC, KB), jnp.float32),
                             pltpu.SemaphoreType.DMA((2,))]),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
         interpret=interpret,
     )(starts, ox, oy, slab_blocks)
 
@@ -453,9 +461,9 @@ def _bwd_pallas(slab_blocks, starts, ox, oy, g, out, *, num_tiles,
             num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                      pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                      pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[pltpu.VMEM((2, _REC, KB), jnp.float32),
@@ -627,16 +635,20 @@ def blend_records_pallas(
     starts_i = bins.starts.astype(jnp.int32)
     out = _core(rec_pad, rank_pad, bins.rank_bounds.astype(jnp.int32),
                 starts_i, ox, oy, num_tiles, interpret,
-                depth_grad)[:num_tiles]
-    img = out[:, :, 0:3] + out[:, :, 4:5] * bg[None, None, :]
-    dep = out[:, :, 3]
-    alpha = 1.0 - out[:, :, 4]
+                depth_grad)[:num_tiles]                # (T, 8, P)
+    img = out[:, 0:3, :] + out[:, 4:5, :] * bg[None, :, None]
+    dep = out[:, 3, :]
+    alpha = 1.0 - out[:, 4, :]
 
-    def assemble(x):
-        ch = x.shape[2:]
-        x = x.reshape((tiles_y, tiles_x, TILE, TILE) + ch)
-        x = jnp.swapaxes(x, 1, 2)
-        x = x.reshape((tiles_y * TILE, tiles_x * TILE) + ch)
-        return x[:height, :width]
+    def assemble(x):          # (T, C, P) -> (H, W, C); (T, P) -> (H, W)
+        if x.ndim == 3:
+            c = x.shape[1]
+            x = x.reshape(tiles_y, tiles_x, c, TILE, TILE)
+            x = x.transpose(0, 3, 1, 4, 2)
+            return x.reshape(tiles_y * TILE, tiles_x * TILE,
+                             c)[:height, :width]
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE)
+        x = x.transpose(0, 2, 1, 3)
+        return x.reshape(tiles_y * TILE, tiles_x * TILE)[:height, :width]
 
     return assemble(img), assemble(dep), assemble(alpha)

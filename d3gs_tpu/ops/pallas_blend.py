@@ -130,6 +130,41 @@ def _split3(x):
     return x1, x2, x3
 
 
+def _ident(n):
+    """(n, n) identity in bf16 (exact 0/1 entries) for MXU transposes."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (row == col).astype(jnp.bfloat16)
+
+
+def _cols_to_rows(x, ident):
+    """Exact f32 (P, k<=8) -> (8, P) MXU transpose: a Mosaic sublane <->
+    lane relayout of a 256-vector costs ~0.3 us each; one transpose
+    against the exact-bf16 identity with the 3-chunk input split is far
+    cheaper and bit-exact (products are chunk*1). k is padded to 8 — the
+    MXU work is trivial either way (Mosaic rejects width-1 operands)."""
+    x = jnp.pad(x, ((0, 0), (0, 8 - x.shape[1])))
+    x1, x2, x3 = _split3(x)
+
+    def d(a):
+        return jax.lax.dot_general(
+            a, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return d(x1) + (d(x2) + d(x3))
+
+
+def _rows_to_cols(x, ident):
+    """Exact f32 (k<=8, P) -> (P, 8), same scheme."""
+    x = jnp.pad(x, ((0, 8 - x.shape[0]), (0, 0)))
+    x1, x2, x3 = _split3(x)
+
+    def d(a):
+        return jax.lax.dot_general(
+            ident, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return d(x1) + (d(x2) + d(x3))
+
+
 def _mxu_cumsum(x, tri):
     """Inclusive prefix sum along lanes via MXU matmuls at full f32
     accuracy in THREE bf16 passes.
@@ -229,11 +264,11 @@ def _fwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, out_ref, buf, sem):
 
     out_ref[0, 0:3, :] = img
     out_ref[0, 3:4, :] = dep
-    # per-pixel aux columns transpose ONCE per tile (not per block)
-    out_ref[0, 4:5, :] = tfin.reshape(1, P)
-    # backward-pass anchors: EXACT log T after the last processed block
-    # (underflow-free), and the number of blocks actually processed
-    out_ref[0, 5:6, :] = ltv.reshape(1, P)
+    # per-pixel aux columns (final transmittance + the backward anchors:
+    # EXACT log T after the last processed block, underflow-free) become
+    # rows with ONE batched MXU transpose per tile (not per block)
+    aux = _cols_to_rows(jnp.concatenate([tfin, ltv], axis=1), _ident(P))
+    out_ref[0, 4:6, :] = aux[0:2]
     out_ref[0, 6:7, :] = jnp.full((1, P), 1.0, jnp.float32) * \
         b_f.astype(jnp.float32)
     out_ref[0, 7:8, :] = jnp.zeros((1, P), jnp.float32)
@@ -282,10 +317,15 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     # depth_grad=False. Per-pixel aux rows transpose to columns ONCE per
     # tile here.
     g_img = g_ref[0, 0:3, :]                           # (3, P)
-    g_dep = g_ref[0, 3:4, :].reshape(P, 1) if depth_grad else None
     g_tf = g_ref[0, 4:5, :]                            # (1, P)
-    t_final = g_tf * out_ref[0, 4:5, :]                # g_tf·T_final, (1, P)
-    log_tend = out_ref[0, 5:6, :].reshape(P, 1)        # log T(end), (P, 1)
+    rows = [g_tf * out_ref[0, 4:5, :],                 # g_tf·T_final
+            out_ref[0, 5:6, :]]                        # log T(end)
+    if depth_grad:
+        rows.append(g_ref[0, 3:4, :])
+    cols = _rows_to_cols(jnp.concatenate(rows, axis=0), _ident(P))
+    gtt_col = cols[:, 0:1]                             # (P, 1)
+    log_tend = cols[:, 1:2]
+    g_dep = cols[:, 2:3] if depth_grad else None
     b_eff = out_ref[0, 6, 0].astype(jnp.int32)         # blocks fwd processed
 
     def dma_r(slot, b):
@@ -309,7 +349,7 @@ def _bwd_kernel(starts_ref, ox_ref, oy_ref, slab_ref, g_ref, out_ref,
     def _():
         dma_r(jax.lax.rem(b_eff - 1, 2), b_eff - 1).start()
 
-    gtt = t_final.reshape(P, 1)                        # g_tf·T_final column
+    gtt = gtt_col                                      # g_tf·T_final column
 
     tri = _tri_inc(KB)
 

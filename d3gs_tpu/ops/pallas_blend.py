@@ -555,46 +555,46 @@ def _core_bwd(num_tiles, interpret, depth_grad, res, g):
                           depth_grad=depth_grad)
 
     # reduce duplicates -> per-record grads WITHOUT a scatter (XLA TPU
-    # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): stably
-    # sort (rank, iota) so gradient rows group into contiguous per-rank
-    # segments, gather the rows through that permutation, then one cumsum +
-    # segment-boundary difference. rank_pad's sentinel n1-1 rows
-    # (padding/culled entries, all-zero gradients) sort last.
-    # (A/B'd alternative — carrying all 16 gradient channels through the
-    # sort as payload operands to skip the row gather — measured SLOWER at
-    # bench scale: 3.0 vs 2.5 ms; the 17-operand sort alone is 1.3 ms and
-    # the channel restack/transpose eats the rest. tools/exp_red2.py.)
-    g_flat = g_all.transpose(0, 2, 1).reshape(mb * KB, _REC)
+    # scatter-add is index-bound, ~18 ns/row — 6.8 ms at M=385k): carry the
+    # LIVE gradient channels through ONE stable (rank, channels...) sort so
+    # rows group into contiguous per-rank segments, then a log-depth
+    # per-channel cumsum + segment-boundary difference. Sorting the
+    # channels as payloads (~0.18 ms/operand) beats the older
+    # sort-(rank,iota)-then-row-gather chain: XLA lays the (M, 16) gather
+    # out column-major in context (~1.8 ms for what is 0.7 ms row-major),
+    # while the sort works on fully-packed 1-D arrays. Channel extraction
+    # from the (mb, 16, KB) block slab is block-strided (contiguous KB
+    # rows), and only the 9-10 LIVE channels ride the sort. rank_pad's
+    # sentinel n1-1 rows (padding/culled entries, zero grads) sort last.
     mpad = mb * KB
-    iota = jnp.arange(mpad, dtype=jnp.int32)
-    _, invperm = jax.lax.sort((rank_pad, iota), num_keys=1)
-    g_dd = g_flat[invperm]                                    # rank-grouped
-    # blocked inclusive cumsum: the long-axis jnp.cumsum lowers to an
-    # O(window) reduce-window sweep (~0.7 ms at M=393k); a lower-triangular
-    # MXU matmul per 128-row block + a short cross-block carry is ~0.5 ms.
-    # HIGHEST keeps the prefix sums at f32 accuracy (they difference into
-    # per-rank segment sums below — bf16 passes would leak into the
-    # mean/conic gradients). Precision.HIGH (bf16x3) A/B'd ~0.5 ms SLOWER
-    # end-to-end here — XLA's HIGH lowering tiles this contraction worse
-    # than its HIGHEST one; only the in-kernel _split3 variant wins.
-    g3 = g_dd.reshape(mb, KB, _REC)
-    tri = jnp.tril(jnp.ones((KB, KB), jnp.float32))
-    within = jax.lax.dot_general(
-        tri, g3, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (KB, mb, 16)
-    within = jnp.swapaxes(within, 0, 1)                       # (mb, KB, 16)
-    bsum = g3.sum(axis=1)                                     # (mb, 16)
-    bpre = jnp.cumsum(bsum, axis=0) - bsum                    # exclusive
-    cs = (within + bpre[:, None, :]).reshape(mpad, _REC)
+    live = list(range(10 if depth_grad else 9))
+    chans = [g_all[:, c, :].reshape(mpad) for c in live]
+    sorted_out = jax.lax.sort((rank_pad, *chans), num_keys=1)
+
+    def cumsum_1d(x):
+        # inclusive log-depth prefix, (rows, 512) two-level (exact order
+        # differences vs a sequential scan are ulp-level f32 associativity).
+        # The cross-row carry must be a TRUE exclusive scan (shift, then
+        # cumsum): the `cumsum(rowsum) - rowsum` trick turns NaN - NaN into
+        # NaN for the row containing the garbage boundary — the slab's
+        # never-written blocks beyond `total` are uninitialized and sort
+        # into the sentinel segment, whose row can share a 512-wide stripe
+        # with the last real positions.
+        x2 = x.reshape(-1, 512)
+        d = 1
+        while d < 512:
+            x2 = x2 + jnp.pad(x2, ((0, 0), (d, 0)))[:, :512]
+            d *= 2
+        rowsum = x2[:, -1]
+        carry = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros((1,), x2.dtype), rowsum[:-1]]))
+        return (x2 + carry[:, None]).reshape(-1)
+
+    cs = jnp.stack([cumsum_1d(c) for c in sorted_out[1:]], axis=1)
     # rank_bounds (from binning) already holds each rank's segment start in
     # the grouped order; sentinel rank n1-1 occupies [total_surv, mpad).
     # Boundary difference on the INCLUSIVE prefix: index b-1 with b==0
-    # masked to zero — prepending a zero row (jnp.concatenate) would copy
-    # the whole 22 MB prefix array (~0.36 ms) just to shift indices by 1.
-    # (A two-index (mb, KB, 16) fetch was A/B'd for these two gathers and
-    # measured SLOWER in context: 0.80 vs 0.58 ms — the 3-D gather pays
-    # more per row than the flat row gather despite the column-major cs.)
+    # masked to zero.
     bounds = jnp.concatenate(
         [rank_bounds, jnp.full((1,), mpad, jnp.int32)])       # (n1+1,)
 
@@ -602,7 +602,8 @@ def _core_bwd(num_tiles, interpret, depth_grad, res, g):
         row = cs[jnp.maximum(idx - 1, 0)]
         return jnp.where((idx > 0)[:, None], row, 0.0)
 
-    d_rec = at_prev(bounds[1:]) - at_prev(bounds[:-1])        # (n1, 16)
+    d_live = at_prev(bounds[1:]) - at_prev(bounds[:-1])       # (n1, live)
+    d_rec = jnp.pad(d_live, ((0, 0), (0, _REC - len(live))))  # (n1, 16)
 
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_rec, zero_i(rank_pad), zero_i(rank_bounds), zero_i(starts),

@@ -39,12 +39,22 @@ def _rk4_step(f: Callable, y: jax.Array, t: jax.Array, dt: jax.Array):
 
 
 def integrate_segment(f: Callable, y: jax.Array, t0, t1, n_substeps: int):
-    """Integrate y from t0 to t1 with n_substeps RK4 steps (t0==t1 => y)."""
+    """Integrate y from t0 to t1 with n_substeps RK4 steps (t0==t1 => y).
+
+    Each substep is checkpointed: the loop's AD otherwise stores every
+    RK4 stage's dynamics-net activations per substep ((substeps, N, W)
+    buffers — 9+ GB at N=100k, W=256, OOMing the 16 GB chip, where the
+    reference falls back to `max_batch_gaussians` chunking). With the
+    substep-level remat only the (N, D) states are carried and the
+    backward re-runs one substep's stages at a time — the same
+    compute/memory trade the adjoint method makes, at fixed-step
+    exactness."""
     dt = (t1 - t0) / n_substeps
+    step = jax.checkpoint(
+        lambda y, t: _rk4_step(f, y, t, dt))
 
     def body(i, y):
-        t = t0 + dt * i
-        return _rk4_step(f, y, t, dt)
+        return step(y, t0 + dt * i)
 
     return jax.lax.fori_loop(0, n_substeps, body, y)
 

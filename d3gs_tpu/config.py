@@ -48,6 +48,11 @@ class ModelParams:
     ode_solver: str = "rk4"       # "rk4" (fixed-step) | "adaptive" (Dopri5 +
                                   # adjoint at --rtol/--atol, the reference
                                   # torchdiffeq/torchode controller path)
+    deform_dtype: str = "float32"  # deform-MLP activation dtype ("float32" |
+                                  # "bfloat16"). bf16 halves the MLP's
+                                  # activation HBM streams (fwd+bwd 3.5 ->
+                                  # 1.7 ms at bench scale, tools/
+                                  # exp_r5_mlp.py); params/outputs stay f32
     load2gpu_on_the_fly: bool = False
     data_device: str = "tpu"
 

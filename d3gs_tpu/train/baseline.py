@@ -91,7 +91,9 @@ def train_baseline(
 
     spec = DeformFieldSpec(kind="baseline", is_blender=model_cfg.is_blender,
                            is_6dof=model_cfg.is_6dof, D=model_cfg.D,
-                           W=model_cfg.W, multires=model_cfg.multires)
+                           W=model_cfg.W, multires=model_cfg.multires,
+                           compute_dtype=getattr(model_cfg, "deform_dtype",
+                                                 "float32"))
     key, dkey = jax.random.split(key)
     deform_state, field = create_deform_field(spec, dkey, opt_cfg)
 

@@ -65,7 +65,8 @@ def pick_field_spec(model_cfg: ModelParams, opt_cfg) -> DeformFieldSpec:
         multires=model_cfg.multires, use_linear=model_cfg.use_linear,
         use_emb=model_cfg.use_emb, output_scale=model_cfg.output_scale,
         solver=getattr(model_cfg, "ode_solver", "rk4"),
-        rtol=opt_cfg.rtol, atol=opt_cfg.atol)
+        rtol=opt_cfg.rtol, atol=opt_cfg.atol,
+        compute_dtype=getattr(model_cfg, "deform_dtype", "float32"))
 
 
 def make_batched_step(*, opt_cfg, pipe_cfg, model_cfg, field,

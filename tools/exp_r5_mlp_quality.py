@@ -78,9 +78,9 @@ def run_arm(dtype, gt, train_cams, test_cams):
         iterations=ITERS, warm_up=WARM, sequence_length=N_TRAIN,
         densify_from_iter=500, densify_until_iter=1500,
         densification_interval=100, opacity_reset_interval=10_000,
-        position_lr_max_steps=ITERS, deform_lr_max_steps=ITERS,
-        steps_per_dispatch=25)
-    pipe_cfg = PipelineParams(tile_capacity=512, tile_chunk=19)
+        position_lr_max_steps=ITERS, deform_lr_max_steps=ITERS)
+    pipe_cfg = PipelineParams(tile_capacity=512, tile_chunk=19,
+                              steps_per_dispatch=25)
 
     result = train_baseline(
         gaussians=st, train_cams=train_cams, test_cams=test_cams,
